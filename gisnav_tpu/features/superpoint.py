@@ -1,0 +1,144 @@
+"""SuperPoint keypoint detector + descriptor network (Flax linen).
+
+TPU-native replacement for the reference's CPU SIFT extraction
+(``core/twist_node.py:60-93,227-232`` and ``core/pose_node.py:226-241`` in
+hmakelin/gisnav): a small VGG-style CNN whose conv stacks run on the MXU in
+bf16, with a fixed-size top-K keypoint head (see ``features.nms``) instead of
+ragged cv2 keypoint lists.
+
+Architecture follows the published SuperPoint design (DeTone et al. 2018,
+MagicLeap release): shared VGG encoder (64-64-64-64-128-128-128-128, three
+2x2 maxpools), a 65-channel detector head decoded by 8x8 pixel-shuffle, and a
+256-d descriptor head sampled bilinearly at keypoint locations. Weight layout
+is kept converter-compatible with the public PyTorch checkpoint (see
+``features/convert.py``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gisnav_tpu.features.nms import select_keypoints
+
+__all__ = ["SuperPoint", "SuperPointFeatures", "extract_features"]
+
+
+class SuperPointFeatures(NamedTuple):
+    """Fixed-size feature set for one image."""
+
+    keypoints: jnp.ndarray  # (K, 2) float32 pixel xy
+    scores: jnp.ndarray  # (K,) detector confidence
+    descriptors: jnp.ndarray  # (K, 256) L2-normalized
+    mask: jnp.ndarray  # (K,) bool — False for padded slots
+
+
+def _vgg_block(x, features, name, dtype):
+    x = nn.Conv(features, (3, 3), padding="SAME", name=name, dtype=dtype)(x)
+    return nn.relu(x)
+
+
+class SuperPoint(nn.Module):
+    """SuperPoint forward pass for a single grayscale image.
+
+    Input: (H, W) or (H, W, 1) float32 in [0, 1]; H and W must be multiples
+    of 8. Compute runs in bfloat16 on the MXU with float32 heads.
+    """
+
+    max_keypoints: int = 1024
+    score_threshold: float = 0.0005
+    nms_radius: int = 4
+    border: int = 4
+    descriptor_dim: int = 256
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray) -> SuperPointFeatures:
+        if image.ndim == 2:
+            image = image[:, :, None]
+        h, w = image.shape[0], image.shape[1]
+        x = image[None].astype(self.compute_dtype)  # NHWC
+
+        dt = self.compute_dtype
+        x = _vgg_block(x, 64, "conv1a", dt)
+        x = _vgg_block(x, 64, "conv1b", dt)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, 64, "conv2a", dt)
+        x = _vgg_block(x, 64, "conv2b", dt)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, 128, "conv3a", dt)
+        x = _vgg_block(x, 128, "conv3b", dt)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, 128, "conv4a", dt)
+        x = _vgg_block(x, 128, "conv4b", dt)
+
+        # Detector head: 65 = 8x8 cell + dustbin
+        cpa = nn.relu(
+            nn.Conv(256, (3, 3), padding="SAME", name="convPa", dtype=dt)(x)
+        )
+        logits = nn.Conv(65, (1, 1), name="convPb", dtype=dt)(cpa)
+        logits = logits.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
+        hc, wc = h // 8, w // 8
+        heatmap = probs.reshape(1, hc, wc, 8, 8)
+        heatmap = heatmap.transpose(0, 1, 3, 2, 4).reshape(1, h, w)[0]
+
+        # Descriptor head
+        cda = nn.relu(
+            nn.Conv(256, (3, 3), padding="SAME", name="convDa", dtype=dt)(x)
+        )
+        dmap = nn.Conv(self.descriptor_dim, (1, 1), name="convDb", dtype=dt)(cda)
+        dmap = dmap.astype(jnp.float32)[0]  # (hc, wc, D)
+        dmap = dmap / jnp.maximum(
+            jnp.linalg.norm(dmap, axis=-1, keepdims=True), 1e-8
+        )
+
+        keypoints, scores, valid = select_keypoints(
+            heatmap,
+            self.max_keypoints,
+            self.score_threshold,
+            self.border,
+            self.nms_radius,
+        )
+        descs = _sample_descriptors(keypoints, dmap, stride=8)
+        return SuperPointFeatures(
+            keypoints=keypoints, scores=scores, descriptors=descs, mask=valid
+        )
+
+
+def _sample_descriptors(kpts: jnp.ndarray, dmap: jnp.ndarray, stride: int
+                        ) -> jnp.ndarray:
+    """Bilinearly sample the coarse descriptor map at keypoint pixel coords
+    (align-corners-on-cell-centers convention of the MagicLeap release) and
+    re-normalize."""
+    hc, wc, d = dmap.shape
+    # pixel coords -> coarse grid coords (cell centers at stride/2 - 0.5)
+    gx = (kpts[:, 0] - stride / 2 + 0.5) / stride
+    gy = (kpts[:, 1] - stride / 2 + 0.5) / stride
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = (gx - x0)[:, None]
+    fy = (gy - y0)[:, None]
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, wc - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, hc - 1)
+    x1 = jnp.clip(x0 + 1, 0, wc - 1)
+    y1 = jnp.clip(y0 + 1, 0, hc - 1)
+    v00, v01 = dmap[y0, x0], dmap[y0, x1]
+    v10, v11 = dmap[y1, x0], dmap[y1, x1]
+    out = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
+
+
+def extract_features(
+    params, image: jnp.ndarray, *, max_keypoints: int = 1024, **kwargs
+) -> SuperPointFeatures:
+    """Functional entry point: run SuperPoint with given params on one image."""
+    model = SuperPoint(max_keypoints=max_keypoints, **kwargs)
+    return model.apply(params, image)

@@ -1,0 +1,93 @@
+"""Tests for SuperPoint extraction, NMS, SIFT wire format."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gisnav_tpu.features import SuperPoint, select_keypoints, simple_nms
+from gisnav_tpu.features.sift import (
+    SiftFeatures,
+    extract_sift,
+    pack_keypoints,
+    pad_features,
+    unpack_keypoints,
+)
+
+
+class TestNMS:
+    def test_simple_nms_golden(self):
+        s = np.zeros((16, 16), np.float32)
+        s[4, 4] = 1.0
+        s[5, 5] = 0.5  # suppressed by (4,4) within radius 4
+        s[12, 12] = 0.8
+        out = np.asarray(simple_nms(jnp.asarray(s), radius=4))
+        assert out[4, 4] == 1.0
+        assert out[5, 5] == 0.0
+        assert out[12, 12] == 0.8
+
+    def test_select_keypoints_static_shape_and_border(self):
+        rng = np.random.default_rng(0)
+        heat = rng.uniform(0, 1, (64, 96)).astype(np.float32)
+        kpts, scores, valid = select_keypoints(jnp.asarray(heat), 128, border=8)
+        assert kpts.shape == (128, 2)
+        kv = np.asarray(kpts)[np.asarray(valid)]
+        assert (kv[:, 0] >= 8).all() and (kv[:, 0] < 88).all()
+        assert (kv[:, 1] >= 8).all() and (kv[:, 1] < 56).all()
+        # scores sorted descending
+        s = np.asarray(scores)
+        assert (np.diff(s) <= 1e-7).all()
+
+
+class TestSuperPoint:
+    def test_forward_shapes_and_invariants(self):
+        model = SuperPoint(max_keypoints=256)
+        img = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (120, 160)).astype(np.float32)
+        )
+        params = model.init(jax.random.PRNGKey(0), img)
+        feats = model.apply(params, img)
+        assert feats.keypoints.shape == (256, 2)
+        assert feats.descriptors.shape == (256, 256)
+        assert feats.scores.shape == (256,)
+        # descriptors are unit length
+        norms = np.linalg.norm(np.asarray(feats.descriptors), axis=1)
+        assert np.allclose(norms, 1.0, atol=1e-4)
+
+    def test_jit_reuse(self):
+        model = SuperPoint(max_keypoints=64)
+        rng = np.random.default_rng(2)
+        img1 = jnp.asarray(rng.uniform(0, 1, (64, 64)).astype(np.float32))
+        img2 = jnp.asarray(rng.uniform(0, 1, (64, 64)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), img1)
+        f = jax.jit(model.apply)
+        a = f(params, img1)
+        b = f(params, img2)
+        assert not np.allclose(np.asarray(a.scores), np.asarray(b.scores))
+
+
+class TestSiftWire:
+    def _checkerboardish(self, rng):
+        img = (rng.uniform(0, 1, (240, 320)) > 0.5).astype(np.uint8) * 255
+        import cv2
+
+        return cv2.GaussianBlur(img, (5, 5), 1.0)
+
+    def test_extract_and_roundtrip(self, rng):
+        img = self._checkerboardish(rng)
+        pts, sizes, angles, descs = extract_sift(img, max_keypoints=512)
+        assert len(pts) > 50
+        feats = pad_features(pts, sizes, angles, descs, 512)
+        raw = pack_keypoints(feats)
+        # wire record must be 133 float32s = 532 bytes (reference layout)
+        assert len(raw) % 532 == 0
+        back = unpack_keypoints(raw, 512)
+        n = int(feats.mask.sum())
+        assert np.allclose(back.keypoints[:n], feats.keypoints[:n])
+        assert np.allclose(back.descriptors[:n], feats.descriptors[:n])
+        assert back.mask.sum() == feats.mask.sum()
+
+    def test_empty_image(self):
+        img = np.zeros((64, 64), np.uint8)
+        pts, sizes, angles, descs = extract_sift(img)
+        feats = pad_features(pts, sizes, angles, descs, 128)
+        assert feats.mask.sum() == 0
+        assert isinstance(feats, SiftFeatures)
