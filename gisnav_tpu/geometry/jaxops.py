@@ -132,6 +132,18 @@ def ecef_to_wgs84_jax(xyz: jnp.ndarray):
     return jnp.degrees(lon), jnp.degrees(lat), alt
 
 
+def meters_per_degree_jax(lat_deg):
+    """(meters per degree longitude, meters per degree latitude) at a
+    latitude, from the WGS84 prime-vertical and meridian curvature radii."""
+    lat = jnp.radians(lat_deg)
+    slat = jnp.sin(lat)
+    w2 = 1.0 - WGS84_E2 * slat * slat
+    n = WGS84_A / jnp.sqrt(w2)  # prime vertical radius
+    m = WGS84_A * (1.0 - WGS84_E2) / w2**1.5  # meridian radius
+    deg = jnp.pi / 180.0
+    return n * jnp.cos(lat) * deg, m * deg
+
+
 def enu_to_ecef_matrix_jax(lon_deg, lat_deg) -> jnp.ndarray:
     """ENU->ECEF rotation at (lon, lat); jnp mirror of crs.enu_to_ecef_matrix."""
     lon = jnp.radians(lon_deg)

@@ -1,0 +1,294 @@
+"""The fused frame->geopose device program.
+
+Where the reference splits the hot path over four ROS processes with DDS hops
+(TwistNode SIFT -> StereoNode warp -> PoseNode LightGlue+PnP, see SURVEY.md
+section 3.1 and ``core/pose_node.py:186-497`` in hmakelin/gisnav), here the
+entire chain
+
+    raster rotate+crop -> SuperPoint x2 -> LightGlue -> DEM z-lift ->
+    RANSAC-PnP -> WGS84/ECEF geopose
+
+is ONE jit-compiled XLA program over HBM-resident tensors. Host code only
+uploads the camera frame (the orthoimage stack is device-resident between map
+refreshes) and downloads a ~100-byte GeoPose.
+
+Unit fix vs the reference: the reference feeds DEM meters directly as the z
+of pixel-unit object points (``core/_shared.py:95-102``), which only works
+because its imagery happens to be ~1 m/px. Here DEM meters are converted into
+the raster's z-down pixel-unit frame via the CRS affine z-scale
+(``z_px = dem_m / aff[2,2]``, the scale is negative), so the geometry is
+consistent at any ground-sample distance.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gisnav_tpu.features.superpoint import SuperPoint
+from gisnav_tpu.geometry.jaxops import (
+    enu_to_ecef_matrix_jax,
+    matrix_to_quat_jax,
+    meters_per_degree_jax,
+    wgs84_to_ecef_jax,
+)
+from gisnav_tpu.matching.lightglue import LightGlue
+from gisnav_tpu.pnp.dem import gather_elevation
+from gisnav_tpu.pnp.ransac import ransac_pnp
+from gisnav_tpu.raster.warp import rotate_and_crop_center
+
+__all__ = [
+    "PipelineConfig",
+    "GeoPose",
+    "init_pipeline_params",
+    "build_frame_to_geopose",
+    "assemble_geopose",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration of the fused program (shapes compile in)."""
+
+    image_shape: Tuple[int, int] = (480, 640)  # query frame (h, w)
+    ortho_shape: Tuple[int, int] = (1024, 1024)  # orthoimage raster (h, w)
+    max_keypoints: int = 1024  # per image (reference cap: pose_node.py:70)
+    lightglue_depth: int = 9  # reference GPU config (pose_node.py:107-122)
+    filter_threshold: float = 0.1  # LightGlue match confidence
+    min_matches: int = 15  # reference MIN_MATCHES (pose_node.py:66)
+    num_hypotheses: int = 64  # RANSAC batch (reference: 10 sequential iters)
+    threshold_px: float = 8.0  # RANSAC inlier threshold
+    refine_iters: int = 10
+    score_threshold: float = 0.0005  # SuperPoint detector threshold
+
+
+class GeoPose(NamedTuple):
+    """Output of the fused program (all device scalars/small arrays)."""
+
+    ecef_position: jnp.ndarray  # (3,) meters
+    ecef_quat: jnp.ndarray  # (4,) xyzw camera_optical->ECEF
+    lon_lat_alt: jnp.ndarray  # (3,) degrees, degrees, meters
+    r_raster: jnp.ndarray  # (3, 3) object(raster px)->camera rotation
+    cam_pos_raster: jnp.ndarray  # (3,) camera center in cropped-raster px
+    m_crop: jnp.ndarray  # (3, 3) cropped->original raster pixel affine
+    num_matches: jnp.ndarray  # () int32
+    num_inliers: jnp.ndarray  # () int32
+    valid: jnp.ndarray  # () bool
+    matched_qry: jnp.ndarray  # (K, 2) matched query px (padded)
+    matched_ref: jnp.ndarray  # (K, 2) matched reference px (padded)
+    match_mask: jnp.ndarray  # (K,) bool
+
+
+def init_pipeline_params(key: jax.Array, config: PipelineConfig) -> dict:
+    """Initialize (or hold converted) SuperPoint + LightGlue parameters."""
+    h, w = config.image_shape
+    sp = SuperPoint(max_keypoints=config.max_keypoints,
+                    score_threshold=config.score_threshold)
+    k1, k2 = jax.random.split(key)
+    img = jnp.zeros((h, w), jnp.float32)
+    sp_params = sp.init(k1, img)
+    feats = jax.eval_shape(lambda p, im: sp.apply(p, im), sp_params, img)
+    lg = LightGlue(depth=config.lightglue_depth,
+                   filter_threshold=config.filter_threshold)
+    dummy_kp = jnp.zeros(feats.keypoints.shape, jnp.float32)
+    dummy_desc = jnp.zeros(feats.descriptors.shape, jnp.float32)
+    dummy_mask = jnp.ones(feats.mask.shape, bool)
+    lg_params = lg.init(
+        k2, dummy_kp, dummy_desc, dummy_mask, (h, w),
+        dummy_kp, dummy_desc, dummy_mask, (h, w),
+    )
+    return {"superpoint": sp_params, "lightglue": lg_params}
+
+
+def build_frame_to_geopose(
+    config: PipelineConfig,
+) -> Callable[..., GeoPose]:
+    """Build the (un-jitted) pure frame->geopose function.
+
+    Signature of the returned function::
+
+        fn(params, query, ortho, dem, rotation_deg, k, crs_affine, key)
+          -> GeoPose
+
+    - ``query``: (h, w) float32 grayscale in [0, 1]
+    - ``ortho``: (H, W) float32 orthoimage grayscale in [0, 1]
+    - ``dem``: (H, W) float32 elevation meters
+    - ``rotation_deg``: scalar camera-yaw rotation for the reference crop
+    - ``k``: (3, 3) camera intrinsics
+    - ``crs_affine``: (4, 4) pixel->WGS84 affine of the FULL orthoimage
+    - ``key``: PRNG key for RANSAC sampling
+
+    Wrap with ``jax.jit`` (donate/device-put as appropriate) or ``vmap`` over
+    a stream axis for multi-camera batching.
+    """
+    h, w = config.image_shape
+    sp = SuperPoint(max_keypoints=config.max_keypoints,
+                    score_threshold=config.score_threshold)
+    lg = LightGlue(depth=config.lightglue_depth,
+                   filter_threshold=config.filter_threshold)
+
+    def fn(params, query, ortho, dem, rotation_deg, k, crs_affine, key
+           ) -> GeoPose:
+        # 1. reference raster: fused rotate + center crop (one gather)
+        stack = jnp.stack([ortho, dem], axis=-1)
+        warped, m_crop = rotate_and_crop_center(stack, rotation_deg, (h, w))
+        ref_img = warped[:, :, 0]
+        dem_crop = warped[:, :, 1]
+
+        # 2. keypoints + descriptors, both images in one batched forward
+        pair = jnp.stack([query, ref_img], axis=0)
+        feats = jax.vmap(lambda im: sp.apply(params["superpoint"], im))(pair)
+        f_qry = jax.tree.map(lambda a: a[0], feats)
+        f_ref = jax.tree.map(lambda a: a[1], feats)
+
+        # 3. attention matching
+        match = lg.apply(
+            params["lightglue"],
+            f_qry.keypoints, f_qry.descriptors, f_qry.mask, (h, w),
+            f_ref.keypoints, f_ref.descriptors, f_ref.mask, (h, w),
+        )
+        midx = match.matches0
+        mvalid = midx >= 0
+        ref_idx = jnp.clip(midx, 0)
+        mkp_qry = f_qry.keypoints
+        mkp_ref = f_ref.keypoints[ref_idx]
+        num_matches = jnp.sum(mvalid).astype(jnp.int32)
+
+        # 4. DEM z-lift into the z-down pixel-unit raster frame
+        z_scale = crs_affine[2, 2]  # negative meters-per-"pixel"
+        dem_m = gather_elevation(dem_crop, mkp_ref)
+        z_obj = dem_m / z_scale
+        obj = jnp.concatenate([mkp_ref, z_obj[:, None]], axis=1)
+
+        # 5. robust pose
+        pnp = ransac_pnp(
+            obj, mkp_qry, k, mvalid,
+            key=key,
+            num_hypotheses=config.num_hypotheses,
+            threshold_px=config.threshold_px,
+            min_inliers=config.min_matches,
+            refine_iters=config.refine_iters,
+        )
+
+        # 6. geopose assembly (reference semantics: pose_node.py:332-381)
+        ecef, quat, lla, cam_pos = assemble_geopose(
+            pnp.r, pnp.t, m_crop, crs_affine
+        )
+        valid = pnp.valid & (num_matches >= config.min_matches)
+
+        return GeoPose(
+            ecef_position=ecef,
+            ecef_quat=quat,
+            lon_lat_alt=lla,
+            r_raster=pnp.r,
+            cam_pos_raster=cam_pos,
+            m_crop=m_crop,
+            num_matches=num_matches,
+            num_inliers=pnp.num_inliers,
+            valid=valid,
+            matched_qry=mkp_qry,
+            matched_ref=mkp_ref,
+            match_mask=mvalid & pnp.inliers,
+        )
+
+    return fn
+
+
+def assemble_geopose(r, t, m_crop, crs_affine):
+    """Turn a PnP pose in the cropped-raster frame into a WGS84/ECEF geopose.
+
+    Reference semantics: ``pose_node.py:332-381`` — camera center through the
+    (warp-composed) CRS affine, orientation via raster->ENU->ECEF chain.
+
+    :param r: (3, 3) object(cropped raster px)->camera rotation
+    :param t: (3,) PnP translation
+    :param m_crop: (3, 3) cropped->original raster pixel affine
+    :param crs_affine: (4, 4) original-raster pixel->WGS84 affine
+    :return: (ecef_position (3,), ecef_quat xyzw (4,), lon_lat_alt (3,),
+        cam_pos_raster (3,))
+    """
+    cam_pos = -r.T @ t  # camera center in cropped-raster frame
+
+    # CRS affine for the CROPPED frame: crs @ embed(cropped->original)
+    embed = jnp.eye(4).at[:2, :2].set(m_crop[:2, :2]).at[:2, 3].set(
+        m_crop[:2, 2]
+    )
+    aff = crs_affine @ embed
+    lla = aff @ jnp.concatenate([cam_pos, jnp.ones(1)])
+    lon, lat, alt = lla[0], lla[1], lla[2]
+    ecef = wgs84_to_ecef_jax(lon, lat, alt)
+
+    # orientation: raster(ESD px) -> ENU. The reference normalizes the
+    # affine's columns directly (pose_node.py:371-373), which skews heading
+    # by the degree anisotropy (a lon-degree is cos(lat) shorter than a
+    # lat-degree); we rescale rows to meters first so the linear part
+    # becomes a true similarity before normalization.
+    m_lon, m_lat = meters_per_degree_jax(lat)
+    metric = jnp.diag(jnp.stack([m_lon, m_lat, jnp.ones(())]))
+    r_cols = metric @ aff[:3, :3]
+    r_enu = r_cols / jnp.maximum(
+        jnp.linalg.norm(r_cols, axis=0, keepdims=True), 1e-12
+    )
+    cam_rot_enu = r_enu @ r.T
+    r_ecef = enu_to_ecef_matrix_jax(lon, lat) @ cam_rot_enu
+    quat = matrix_to_quat_jax(r_ecef)
+    return ecef, quat, jnp.stack([lon, lat, alt]), cam_pos
+
+
+def geopose_to_wgs84_f64(geopose: GeoPose, crs_affine_f64):
+    """Host-side float64 re-assembly of the geopose for precision consumers.
+
+    The device program runs float32, which quantizes absolute lon/lat at
+    ~0.2 m and ECEF at ~0.5 m. The raster-frame outputs (``cam_pos_raster``,
+    ``r_raster``, ``m_crop``) are float32-exact at sub-millimeter pixel scale,
+    so the mock-GPS path recomputes the final absolute coordinates here in
+    float64 from those plus the full-precision CRS affine.
+
+    :param crs_affine_f64: (4, 4) float64 pixel->WGS84 affine of the full
+        orthoimage (host copy, never truncated to f32)
+    :return: dict with lon, lat, alt_ellipsoid, ecef (3,), quat_ecef xyzw (4,)
+    """
+    import numpy as np
+
+    from gisnav_tpu.geometry.crs import enu_to_ecef_matrix, wgs84_to_ecef
+    from gisnav_tpu.geometry.quaternion import matrix_to_quat
+
+    cam_pos = np.asarray(geopose.cam_pos_raster, dtype=np.float64)
+    r = np.asarray(geopose.r_raster, dtype=np.float64)
+    m_crop = np.asarray(geopose.m_crop, dtype=np.float64)
+    aff = np.asarray(crs_affine_f64, dtype=np.float64)
+
+    embed = np.eye(4)
+    embed[:2, :2] = m_crop[:2, :2]
+    embed[:2, 3] = m_crop[:2, 2]
+    aff = aff @ embed
+
+    lla = aff @ np.append(cam_pos, 1.0)
+    lon, lat, alt = float(lla[0]), float(lla[1]), float(lla[2])
+    x, y, z = wgs84_to_ecef(lon, lat, alt)
+
+    # metric-rescaled raster->ENU (see assemble_geopose)
+    lat_r = np.radians(lat)
+    from gisnav_tpu.geometry.crs import WGS84_A, WGS84_E2
+
+    w2 = 1.0 - WGS84_E2 * np.sin(lat_r) ** 2
+    m_lon = WGS84_A / np.sqrt(w2) * np.cos(lat_r) * np.pi / 180.0
+    m_lat = WGS84_A * (1.0 - WGS84_E2) / w2**1.5 * np.pi / 180.0
+    metric = np.diag([m_lon, m_lat, 1.0])
+    r_cols = metric @ aff[:3, :3]
+    r_enu = r_cols / np.linalg.norm(r_cols, axis=0, keepdims=True)
+    r_ecef = enu_to_ecef_matrix(lon, lat) @ (r_enu @ r.T)
+    # project to SO(3) (column normalization leaves slight non-orthogonality)
+    u, _, vt = np.linalg.svd(r_ecef)
+    r_ecef = u @ np.diag([1.0, 1.0, np.linalg.det(u @ vt)]) @ vt
+
+    return {
+        "lon": lon,
+        "lat": lat,
+        "alt_ellipsoid": alt,
+        "ecef": np.array([x, y, z]),
+        "quat_ecef": matrix_to_quat(r_ecef),
+        "r_enu_cam": r_enu @ r.T,
+    }
