@@ -1,0 +1,124 @@
+"""Jitted training steps for SuperPoint + LightGlue (joint, end-to-end).
+
+One ``train_step`` is the unit the driver's multi-chip dry-run compiles over a
+(data, model) mesh: images are sharded over the ``data`` axis (one camera
+stream / batch slice per device group) and Dense kernels may be output-sharded
+over ``model`` (see ``parallel.mesh``). Gradients flow through the LightGlue
+assignment into SuperPoint's descriptor head and encoder; the keypoint top-k
+is non-differentiable by construction (standard for this model family).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gisnav_tpu.features.superpoint import SuperPoint
+from gisnav_tpu.matching.lightglue import LightGlue
+from gisnav_tpu.pipeline.geopose import PipelineConfig, init_pipeline_params
+
+__all__ = ["TrainState", "init_train_state", "make_train_step", "matcher_loss"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    image_shape: Tuple[int, int] = (128, 160)
+    max_keypoints: int = 256
+    lightglue_depth: int = 3
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    gt_radius_px: float = 3.0  # keypoint-reprojection radius for positives
+
+
+def init_train_state(key, config: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    pcfg = PipelineConfig(
+        image_shape=config.image_shape,
+        max_keypoints=config.max_keypoints,
+        lightglue_depth=config.lightglue_depth,
+    )
+    params = init_pipeline_params(key, pcfg)
+    tx = optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
+    opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def _ground_truth_assignment(kp0, mask0, kp1, mask1, homography, radius):
+    """GT match index for each kp0 from the known homography (or -1)."""
+    ones = jnp.ones((kp0.shape[0], 1), kp0.dtype)
+    proj = jnp.concatenate([kp0, ones], axis=1) @ homography.T
+    proj = proj[:, :2] / jnp.maximum(proj[:, 2:3], 1e-6)
+    d2 = jnp.sum((proj[:, None, :] - kp1[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(mask1[None, :], d2, jnp.inf)
+    nn = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    ok = (jnp.min(d2, axis=1) < radius * radius) & mask0
+    return jnp.where(ok, nn, -1)
+
+
+def matcher_loss(scores, gt_idx, mask0):
+    """LightGlue-style NLL: -log P(i, gt_i) for positives, -log(1 - sum_j
+    P(i, :)) for confirmed negatives."""
+    k0, k1 = scores.shape
+    pos = gt_idx >= 0
+    p_match = scores[jnp.arange(k0), jnp.clip(gt_idx, 0)]
+    pos_loss = -jnp.log(jnp.clip(p_match, 1e-9, 1.0))
+    row_sum = jnp.sum(scores, axis=1)
+    neg_loss = -jnp.log(jnp.clip(1.0 - row_sum, 1e-9, 1.0))
+    loss = jnp.where(pos, pos_loss, jnp.where(mask0, neg_loss, 0.0))
+    denom = jnp.maximum(jnp.sum(mask0), 1.0)
+    return jnp.sum(loss) / denom
+
+
+def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
+                    ) -> Callable:
+    """Build the jittable (state, batch) -> (state, metrics) step.
+
+    ``batch`` is a ``MatchBatch``-like pytree of (B, H, W) image pairs and
+    (B, 3, 3) homographies; the whole forward runs batched via vmap.
+    """
+    h, w = config.image_shape
+    sp = SuperPoint(max_keypoints=config.max_keypoints)
+    lg = LightGlue(depth=config.lightglue_depth, filter_threshold=0.0)
+
+    def loss_fn(params, image0, image1, homography):
+        def per_pair(im0, im1, hom):
+            f0 = sp.apply(params["superpoint"], im0)
+            f1 = sp.apply(params["superpoint"], im1)
+            res = lg.apply(
+                params["lightglue"],
+                f0.keypoints, f0.descriptors, f0.mask, (h, w),
+                f1.keypoints, f1.descriptors, f1.mask, (h, w),
+            )
+            gt = _ground_truth_assignment(
+                f0.keypoints, f0.mask, f1.keypoints, f1.mask, hom,
+                config.gt_radius_px,
+            )
+            loss = matcher_loss(res.scores, gt, f0.mask)
+            # recall among GT positives (diagnostic, no gradient needed)
+            hit = (res.matches0 == gt) & (gt >= 0)
+            recall = jnp.sum(hit) / jnp.maximum(jnp.sum(gt >= 0), 1)
+            return loss, recall
+
+        losses, recalls = jax.vmap(per_pair)(image0, image1, homography)
+        return jnp.mean(losses), jnp.mean(recalls)
+
+    def train_step(state: TrainState, image0, image1, homography):
+        (loss, recall), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, image0, image1, homography
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, {"loss": loss, "gt_recall": recall}
+
+    return train_step
