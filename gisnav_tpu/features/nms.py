@@ -41,8 +41,15 @@ def select_keypoints(
     score_threshold: float = 0.0005,
     border: int = 4,
     nms_radius: int = 4,
+    block: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS + top-K keypoint selection with static output shapes.
+
+    The top-K runs hierarchically: after NMS, each ``block x block`` cell
+    keeps its maximum (cells can hold at most one NMS survivor except for
+    rare diagonal near-ties at block=4, radius=4), then ``top_k`` runs over
+    the H*W/block^2 cell maxima instead of all H*W pixels — ~16x less sort
+    work, which dominates select cost at 1080p on TPU.
 
     :param heatmap: (H, W) detector scores in [0, 1]
     :return: (keypoints (K, 2) float32 xy, scores (K,), valid (K,) bool)
@@ -57,10 +64,42 @@ def select_keypoints(
     )
     nms = jnp.where(in_border, nms, 0.0)
 
-    flat = nms.reshape(-1)
-    scores, idx = jax.lax.top_k(flat, max_keypoints)
-    kp_x = (idx % w).astype(jnp.float32)
-    kp_y = (idx // w).astype(jnp.float32)
-    keypoints = jnp.stack([kp_x, kp_y], axis=1)
+    if h % block == 0 and w % block == 0 and (h // block) * (w // block) >= (
+        max_keypoints
+    ):
+        hb, wb = h // block, w // block
+        cells = nms.reshape(hb, block, wb, block).transpose(0, 2, 1, 3)
+        cells = cells.reshape(hb * wb, block * block)
+        cell_max = jnp.max(cells, axis=1)
+        cell_arg = jnp.argmax(cells, axis=1).astype(jnp.int32)
+        scores, cell_idx = _top_k(cell_max, max_keypoints)
+        inner = cell_arg[cell_idx]
+        by = (cell_idx // wb) * block + inner // block
+        bx = (cell_idx % wb) * block + inner % block
+        keypoints = jnp.stack(
+            [bx.astype(jnp.float32), by.astype(jnp.float32)], axis=1
+        )
+    else:
+        flat = nms.reshape(-1)
+        scores, idx = _top_k(flat, max_keypoints)
+        keypoints = jnp.stack(
+            [(idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32)],
+            axis=1,
+        )
     valid = scores > score_threshold
     return keypoints, scores, valid
+
+
+def _top_k(values: jnp.ndarray, k: int):
+    """Top-k that is safe for large k on TPU.
+
+    ``jax.lax.top_k`` with k in the thousands trips the Mosaic/XLA windowed
+    top-k emitter (compiler CHECK failure at 2048x2048 inputs); the
+    TPU-optimized ``approx_max_k`` with ``recall_target=1.0`` and final exact
+    aggregation gives identical results through a different lowering.
+    """
+    if k <= 128:
+        return jax.lax.top_k(values, k)
+    return jax.lax.approx_max_k(
+        values, k, recall_target=1.0, aggregate_to_topk=True
+    )

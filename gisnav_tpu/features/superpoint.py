@@ -56,10 +56,15 @@ class SuperPoint(nn.Module):
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> SuperPointFeatures:
+        # Accept (H, W), (H, W, 1) or batched (B, H, W); convs run natively
+        # batched (MXU-friendly), per-image postprocessing is vmapped.
+        batched = True
         if image.ndim == 2:
-            image = image[:, :, None]
-        h, w = image.shape[0], image.shape[1]
-        x = image[None].astype(self.compute_dtype)  # NHWC
+            image, batched = image[None], False
+        elif image.ndim == 3 and image.shape[-1] == 1:
+            image, batched = image[None, :, :, 0], False
+        b, h, w = image.shape
+        x = image[..., None].astype(self.compute_dtype)  # NHWC
 
         dt = self.compute_dtype
         x = _vgg_block(x, 64, "conv1a", dt)
@@ -82,30 +87,41 @@ class SuperPoint(nn.Module):
         logits = logits.astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
         hc, wc = h // 8, w // 8
-        heatmap = probs.reshape(1, hc, wc, 8, 8)
-        heatmap = heatmap.transpose(0, 1, 3, 2, 4).reshape(1, h, w)[0]
+        heatmap = probs.reshape(b, hc, wc, 8, 8)
+        heatmap = heatmap.transpose(0, 1, 3, 2, 4).reshape(b, h, w)
 
         # Descriptor head
         cda = nn.relu(
             nn.Conv(256, (3, 3), padding="SAME", name="convDa", dtype=dt)(x)
         )
         dmap = nn.Conv(self.descriptor_dim, (1, 1), name="convDb", dtype=dt)(cda)
-        dmap = dmap.astype(jnp.float32)[0]  # (hc, wc, D)
+        dmap = dmap.astype(jnp.float32)  # (B, hc, wc, D)
         dmap = dmap / jnp.maximum(
             jnp.linalg.norm(dmap, axis=-1, keepdims=True), 1e-8
         )
 
-        keypoints, scores, valid = select_keypoints(
-            heatmap,
-            self.max_keypoints,
-            self.score_threshold,
-            self.border,
-            self.nms_radius,
-        )
-        descs = _sample_descriptors(keypoints, dmap, stride=8)
-        return SuperPointFeatures(
-            keypoints=keypoints, scores=scores, descriptors=descs, mask=valid
-        )
+        def select_and_sample(heat, dm):
+            keypoints, scores, valid = select_keypoints(
+                heat,
+                self.max_keypoints,
+                self.score_threshold,
+                self.border,
+                self.nms_radius,
+            )
+            descs = _sample_descriptors(keypoints, dm, stride=8)
+            return SuperPointFeatures(
+                keypoints=keypoints, scores=scores, descriptors=descs,
+                mask=valid,
+            )
+
+        # Unrolled over the (small, static) batch rather than vmapped: the
+        # TPU windowed top-k emitter CHECK-crashes on batched (rank-2)
+        # operands at large sizes, and rank-1 top-k also compiles much
+        # faster. Batch is 1-2 images in every pipeline mode.
+        per_image = [select_and_sample(heatmap[i], dmap[i]) for i in range(b)]
+        if not batched:
+            return per_image[0]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per_image)
 
 
 def _sample_descriptors(kpts: jnp.ndarray, dmap: jnp.ndarray, stride: int

@@ -44,6 +44,8 @@ __all__ = [
     "GeoPose",
     "init_pipeline_params",
     "build_frame_to_geopose",
+    "build_frame_to_geopose_cached",
+    "build_reference_extractor",
     "assemble_geopose",
 ]
 
@@ -139,7 +141,7 @@ def build_frame_to_geopose(
 
         # 2. keypoints + descriptors, both images in one batched forward
         pair = jnp.stack([query, ref_img], axis=0)
-        feats = jax.vmap(lambda im: sp.apply(params["superpoint"], im))(pair)
+        feats = sp.apply(params["superpoint"], pair)
         f_qry = jax.tree.map(lambda a: a[0], feats)
         f_ref = jax.tree.map(lambda a: a[1], feats)
 
@@ -292,3 +294,100 @@ def geopose_to_wgs84_f64(geopose: GeoPose, crs_affine_f64):
         "quat_ecef": matrix_to_quat(r_ecef),
         "r_enu_cam": r_enu @ r.T,
     }
+
+
+def build_reference_extractor(config: PipelineConfig):
+    """Build the per-map-refresh reference feature extractor.
+
+    Cached-reference mode: SuperPoint runs over the FULL orthoimage once per
+    map refresh (the reference refreshes maps only below 0.85 bbox overlap,
+    ``core/gis_node.py:124-128`` — every tens of frames in flight), and the
+    per-frame program consumes the cached HBM-resident feature set. This
+    removes both the raster warp and the second SuperPoint forward from the
+    hot path — the TPU-first replacement for the reference's 45-degree
+    rotation-bucket warp cache (``stereo_node.py:222-267``): LightGlue's
+    rotary position encoding handles rotation instead of aligning rasters.
+
+    Reference keypoints use more budget than query keypoints (the raster is
+    larger): ``max_keypoints * ref_keypoint_factor``.
+    """
+    sp = SuperPoint(
+        max_keypoints=config.max_keypoints * 2,
+        score_threshold=config.score_threshold,
+    )
+
+    def extract(params, ortho: jnp.ndarray):
+        return sp.apply(params["superpoint"], ortho)
+
+    return extract
+
+
+def build_frame_to_geopose_cached(config: PipelineConfig):
+    """Hot-path variant matching against precomputed full-raster features.
+
+    Signature::
+
+        fn(params, query, ref_feats, dem, k, crs_affine, key) -> GeoPose
+
+    ``ref_feats`` is the output of :func:`build_reference_extractor` (full
+    orthoimage pixel coordinates); ``dem`` is the full DEM raster. The
+    returned pose is in the FULL raster frame (``m_crop`` = identity).
+    """
+    h, w = config.image_shape
+    oh, ow = config.ortho_shape
+    sp = SuperPoint(max_keypoints=config.max_keypoints,
+                    score_threshold=config.score_threshold)
+    lg = LightGlue(depth=config.lightglue_depth,
+                   filter_threshold=config.filter_threshold)
+
+    def fn(params, query, ref_feats, dem, k, crs_affine, key) -> GeoPose:
+        f_qry = sp.apply(params["superpoint"], query)
+
+        match = lg.apply(
+            params["lightglue"],
+            f_qry.keypoints, f_qry.descriptors, f_qry.mask, (h, w),
+            ref_feats.keypoints, ref_feats.descriptors, ref_feats.mask,
+            (oh, ow),
+        )
+        midx = match.matches0
+        mvalid = midx >= 0
+        ref_idx = jnp.clip(midx, 0)
+        mkp_qry = f_qry.keypoints
+        mkp_ref = ref_feats.keypoints[ref_idx]
+        num_matches = jnp.sum(mvalid).astype(jnp.int32)
+
+        z_scale = crs_affine[2, 2]
+        dem_m = gather_elevation(dem, mkp_ref)
+        obj = jnp.concatenate([mkp_ref, (dem_m / z_scale)[:, None]], axis=1)
+
+        pnp = ransac_pnp(
+            obj, mkp_qry, k, mvalid,
+            key=key,
+            num_hypotheses=config.num_hypotheses,
+            threshold_px=config.threshold_px,
+            min_inliers=config.min_matches,
+            refine_iters=config.refine_iters,
+        )
+
+        m_crop = jnp.eye(3)
+        ecef, quat, lla, cam_pos = assemble_geopose(
+            pnp.r, pnp.t, m_crop, crs_affine
+        )
+        valid = pnp.valid & (num_matches >= config.min_matches)
+
+        return GeoPose(
+            ecef_position=ecef,
+            ecef_quat=quat,
+            lon_lat_alt=lla,
+            r_raster=pnp.r,
+            cam_pos_raster=cam_pos,
+            m_crop=m_crop,
+            num_matches=num_matches,
+            num_inliers=pnp.num_inliers,
+            valid=valid,
+            matched_qry=mkp_qry,
+            matched_ref=mkp_ref,
+            match_mask=mvalid & pnp.inliers,
+        )
+
+    return fn

@@ -1,0 +1,111 @@
+"""Tests for NMEA/UBX/uORB mock-GPS encoders."""
+import numpy as np
+
+from gisnav_tpu.io import (
+    decimal_to_nmea,
+    make_gga,
+    make_gsv,
+    make_hdt,
+    make_nav_pvt,
+    make_rmc,
+    make_sensor_gps,
+    nmea_checksum,
+    sentences_for_fix,
+    unix_to_gps_time,
+)
+
+FIX = dict(
+    lat=int(60.123456 * 1e7),
+    lon=int(24.654321 * 1e7),
+    altitude_ellipsoid=120.5,
+    altitude_amsl=103.2,
+    yaw_degrees=45.0,
+    h_variance_rad=0.01,
+    vel_n_m_s=3.0,
+    vel_e_m_s=4.0,
+    vel_d_m_s=-0.5,
+    cog=np.arctan2(4.0, 3.0),
+    cog_variance_rad=0.02,
+    s_variance_m_s=0.3,
+    timestamp=1_700_000_000_000_000,  # us
+    eph=2.0,
+    epv=3.0,
+    satellites_visible=255,
+)
+
+
+class TestNMEA:
+    def test_checksum_known_value(self):
+        # classic example sentence
+        payload = "GPGGA,123519,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,"
+        assert nmea_checksum(payload) == "47"
+
+    def test_decimal_to_nmea(self):
+        assert decimal_to_nmea(48.1173) == "4807.0380"
+        assert decimal_to_nmea(-11.5167) == "1131.0020"
+
+    def test_gga_structure(self):
+        s = make_gga(FIX["timestamp"], 60.123456, 24.654321, 103.2)
+        assert s.startswith("$GPGGA,")
+        body, cs = s[1:].split("*")
+        assert nmea_checksum(body) == cs
+        fields = body.split(",")
+        assert fields[3] == "N" and fields[5] == "E"
+        assert fields[6] == "1" and fields[7] == "12"  # fix, satellites
+        assert fields[9] == "103.2"
+
+    def test_all_sentences_have_valid_checksums(self):
+        for s in sentences_for_fix(**FIX):
+            assert s.startswith("$")
+            body, cs = s[1:].split("*")
+            assert nmea_checksum(body) == cs, s
+
+    def test_sentence_block_contents(self):
+        block = sentences_for_fix(**FIX)
+        kinds = [s[3:6] for s in block]
+        for k in ("GGA", "VTG", "GSA", "HDT", "GST", "RMC", "GSV"):
+            assert k in kinds, k
+        assert kinds.count("GSV") == 12
+        # velocity sentences removable (PX4 nmea.cpp zeroes s_variance)
+        novel = sentences_for_fix(**{**FIX, "include_velocity": False})
+        kinds2 = [s[3:6] for s in novel]
+        assert "VTG" not in kinds2 and "RMC" not in kinds2
+
+    def test_hdt_rmc(self):
+        assert make_hdt(123.456) == make_hdt(123.456)
+        s = make_rmc(FIX["timestamp"], 60.1, 24.7, 10.0, 90.0)
+        assert ",A," in s
+
+
+class TestUBX:
+    def test_gps_time_of_week(self):
+        week, tow = unix_to_gps_time(315964800.0)  # GPS epoch
+        assert week == 0 and tow == 0.0
+        week, tow = unix_to_gps_time(315964800.0 + 604800 * 10 + 3600)
+        assert week == 10 and tow == 3600.0
+
+    def test_nav_pvt_fields(self):
+        msg = make_nav_pvt(**FIX)
+        assert msg["lat"] == FIX["lat"] and msg["lon"] == FIX["lon"]
+        assert msg["height"] == int(120.5 * 1e3)
+        assert msg["h_msl"] == int(103.2 * 1e3)
+        assert msg["fix_type"] == 3 and msg["flags"] == 0x01
+        assert msg["vel_n"] == 3000 and msg["vel_e"] == 4000
+        assert msg["g_speed"] == 5000
+        assert msg["num_sv"] == 255
+        assert msg["year"] == 2023  # timestamp is Nov 2023
+        assert 0 <= msg["i_tow"] < 604800 * 1000
+
+
+class TestUORB:
+    def test_sensor_gps_fields(self):
+        msg = make_sensor_gps(**FIX)
+        assert msg["fix_type"] == 3
+        assert msg["lat"] == FIX["lat"]
+        assert msg["alt_ellipsoid"] == int(120.5 * 1e3)
+        assert msg["alt"] == int(103.2 * 1e3)
+        assert np.isclose(msg["vel_m_s"], np.sqrt(9 + 16 + 0.25))
+        assert msg["satellites_used"] == 255  # the GISNav fingerprint
+        assert np.isclose(msg["heading"], np.radians(45.0))
+        assert msg["timestamp"] == 0  # let the consumer stamp it
+        assert msg["timestamp_sample"] == FIX["timestamp"]
