@@ -1,0 +1,175 @@
+"""Host-side fusion filter: sensor routing, timestamps, differential mode.
+
+Wraps the jitted EKF kernels into the robot_localization node behavior the
+reference configures (``launch/params/ekf_global_node.yaml`` /
+``ekf_local_node.yaml`` in hmakelin/gisnav): absolute 6-DoF pose sensors,
+differential pose sensors (consecutive poses -> body-frame velocity), a
+fixed output rate, and sensor timeouts.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from gisnav_tpu.fusion.ekf import (
+    EKFState,
+    ekf_init,
+    ekf_predict,
+    ekf_update_pose,
+    ekf_update_velocity,
+)
+from gisnav_tpu.geometry.quaternion import (
+    matrix_to_quat,
+    quat_inverse,
+    quat_mul,
+    quat_to_euler,
+    quat_to_matrix,
+)
+
+__all__ = ["SensorConfig", "PoseFusionFilter"]
+
+_DEFAULT_Q = np.array(
+    [0.05, 0.05, 0.06, 0.03, 0.03, 0.06,  # pose
+     0.025, 0.025, 0.04, 0.01, 0.01, 0.02,  # velocity
+     0.01, 0.01, 0.015],  # acceleration
+    dtype=np.float32,
+)
+"""robot_localization's default process-noise diagonal."""
+
+
+@dataclasses.dataclass
+class SensorConfig:
+    """One pose input (mirrors a ``poseN`` block in the reference YAML)."""
+
+    differential: bool = False
+    fuse_mask: Tuple[bool, ...] = (True,) * 6  # x y z roll pitch yaw
+    timeout_s: float = 30.0
+
+
+class PoseFusionFilter:
+    """Multi-sensor 6-DoF pose fusion with a 15-state EKF.
+
+    Usage::
+
+        f = PoseFusionFilter({"deep": SensorConfig(),
+                              "vo": SensorConfig(differential=True)})
+        f.submit("deep", t, position, quat_xyzw, covariance6)
+        state = f.state_at(t)
+    """
+
+    def __init__(
+        self,
+        sensors: Dict[str, SensorConfig],
+        process_noise: Optional[np.ndarray] = None,
+    ):
+        self._sensors = dict(sensors)
+        self._q = np.asarray(
+            process_noise if process_noise is not None else _DEFAULT_Q,
+            np.float32,
+        )
+        self._state: Optional[EKFState] = None
+        self._stamp_us: Optional[int] = None
+        self._prev_pose: Dict[str, Tuple[int, np.ndarray, np.ndarray]] = {}
+
+    @property
+    def initialized(self) -> bool:
+        return self._state is not None
+
+    def set_pose(self, stamp_us: int, position, quat_xyzw) -> None:
+        """Hard-set the filter pose (the reference seeds its EKF once via the
+        /robot_localization/set_pose service, ``pose_node.py:135-168``)."""
+        rpy = quat_to_euler(np.asarray(quat_xyzw))
+        x0 = np.zeros(15, np.float32)
+        x0[0:3] = np.asarray(position)
+        x0[3:6] = rpy
+        self._state = ekf_init(x0, p0_diag=1e-6)
+        self._stamp_us = int(stamp_us)
+
+    def _predict_to(self, stamp_us: int) -> None:
+        dt = (stamp_us - self._stamp_us) / 1e6
+        if dt > 0:
+            self._state = ekf_predict(self._state, np.float32(dt), self._q)
+            self._stamp_us = int(stamp_us)
+
+    def submit(self, sensor: str, stamp_us: int, position, quat_xyzw,
+               covariance6: Optional[np.ndarray] = None) -> None:
+        """Fuse one stamped pose measurement from a configured sensor."""
+        cfg = self._sensors[sensor]
+        position = np.asarray(position, np.float64)
+        quat_xyzw = np.asarray(quat_xyzw, np.float64)
+        if covariance6 is None:
+            covariance6 = np.diag([9.0, 9.0, 9.0, 0.0027, 0.0027, 0.0027])
+        r_diag = np.maximum(np.diag(np.asarray(covariance6)), 1e-9).astype(
+            np.float32
+        )
+        mask = np.asarray(cfg.fuse_mask, np.float32)
+
+        if self._state is None:
+            if cfg.differential:
+                # differential sensors cannot initialize an absolute state
+                self._prev_pose[sensor] = (int(stamp_us), position, quat_xyzw)
+                return
+            self.set_pose(stamp_us, position, quat_xyzw)
+            return
+
+        if stamp_us < self._stamp_us:
+            return  # stale measurement (robot_localization drops these too)
+
+        self._predict_to(int(stamp_us))
+
+        if not cfg.differential:
+            rpy = quat_to_euler(quat_xyzw)
+            z = np.concatenate([position, rpy]).astype(np.float32)
+            self._state = ekf_update_pose(self._state, z, r_diag, mask)
+        else:
+            prev = self._prev_pose.get(sensor)
+            self._prev_pose[sensor] = (int(stamp_us), position, quat_xyzw)
+            if prev is None:
+                return
+            t0, p0, q0 = prev
+            dt = (stamp_us - t0) / 1e6
+            if dt <= 0 or dt > cfg.timeout_s:
+                return
+            # world-frame delta -> body-frame velocity at previous attitude
+            r0 = quat_to_matrix(q0)
+            v_body = r0.T @ (position - p0) / dt
+            q_delta = quat_mul(quat_inverse(q0), quat_xyzw)
+            w_body = np.asarray(quat_to_euler(q_delta)) / dt
+            z = np.concatenate([v_body, w_body]).astype(np.float32)
+            self._state = ekf_update_velocity(
+                self._state, z, r_diag / max(dt, 1e-3), mask
+            )
+
+    def state_at(self, stamp_us: int):
+        """Predict (without mutating) to a query time and return the odometry.
+
+        :return: dict with position (3,), quat_xyzw (4,), velocity_body (3,),
+            angular_velocity_body (3,), covariance (15, 15) — or None if the
+            filter has not been initialized yet.
+        """
+        if self._state is None:
+            return None
+        state = self._state
+        dt = (stamp_us - self._stamp_us) / 1e6
+        if dt > 0:
+            state = ekf_predict(state, np.float32(dt), self._q)
+        x = np.asarray(state.x, np.float64)
+        from gisnav_tpu.geometry.quaternion import euler_to_quat
+
+        return {
+            "stamp_us": int(stamp_us),
+            "position": x[0:3],
+            "quat_xyzw": euler_to_quat(*x[3:6]),
+            "velocity_body": x[6:9],
+            "angular_velocity_body": x[9:12],
+            "covariance": np.asarray(state.p, np.float64),
+        }
+
+    # convenience for tests / viz
+    def rotation_matrix(self) -> np.ndarray:
+        x = np.asarray(self._state.x)
+        from gisnav_tpu.geometry.quaternion import euler_to_quat
+
+        return quat_to_matrix(euler_to_quat(*x[3:6]))

@@ -1,0 +1,128 @@
+"""EKF fusion tests: convergence, noise rejection, differential VO fusion."""
+import numpy as np
+
+from gisnav_tpu.fusion import (
+    PoseFusionFilter,
+    ekf_init,
+    ekf_predict,
+    ekf_update_pose,
+)
+from gisnav_tpu.fusion.filter import SensorConfig
+from gisnav_tpu.geometry.quaternion import euler_to_quat
+
+
+class TestEKFKernels:
+    def test_predict_constant_velocity(self):
+        x0 = np.zeros(15, np.float32)
+        x0[6] = 2.0  # 2 m/s body x, yaw 0 => world x
+        s = ekf_init(x0, p0_diag=1e-6)
+        q = np.full(15, 1e-3, np.float32)
+        for _ in range(10):
+            s = ekf_predict(s, np.float32(0.1), q)
+        assert np.isclose(float(s.x[0]), 2.0, atol=1e-3)
+        assert np.isclose(float(s.x[1]), 0.0, atol=1e-6)
+
+    def test_predict_velocity_follows_yaw(self):
+        x0 = np.zeros(15, np.float32)
+        x0[5] = np.pi / 2  # yaw 90 deg => body x points to world y
+        x0[6] = 1.0
+        s = ekf_init(x0, p0_diag=1e-6)
+        s = ekf_predict(s, np.float32(1.0), np.full(15, 1e-6, np.float32))
+        assert np.isclose(float(s.x[1]), 1.0, atol=1e-5)
+        assert abs(float(s.x[0])) < 1e-5
+
+    def test_update_pulls_toward_measurement(self):
+        s = ekf_init(np.zeros(15, np.float32), p0_diag=1.0)
+        z = np.array([1.0, 2.0, 3.0, 0, 0, 0.5], np.float32)
+        s = ekf_update_pose(s, z, np.full(6, 0.01, np.float32),
+                            np.ones(6, np.float32))
+        assert np.allclose(np.asarray(s.x[:3]), [1, 2, 3], atol=0.05)
+        assert np.isclose(float(s.x[5]), 0.5, atol=0.01)
+
+    def test_update_mask_ignores_components(self):
+        s = ekf_init(np.zeros(15, np.float32), p0_diag=1.0)
+        z = np.array([1.0, 0, 0, 0, 0, 1.0], np.float32)
+        mask = np.array([1, 1, 1, 1, 1, 0], np.float32)  # ignore yaw
+        s = ekf_update_pose(s, z, np.full(6, 0.01, np.float32), mask)
+        assert np.isclose(float(s.x[0]), 1.0, atol=0.05)
+        assert abs(float(s.x[5])) < 1e-6
+
+    def test_angle_wrap_in_innovation(self):
+        x0 = np.zeros(15, np.float32)
+        x0[5] = np.pi - 0.1
+        s = ekf_init(x0, p0_diag=1.0)
+        z = np.array([0, 0, 0, 0, 0, -np.pi + 0.1], np.float32)  # 0.2 rad away
+        s = ekf_update_pose(s, z, np.full(6, 0.01, np.float32),
+                            np.array([0, 0, 0, 0, 0, 1], np.float32))
+        # must wrap toward +-pi, not spin 2*pi-0.2 backwards
+        assert abs(abs(float(s.x[5])) - np.pi) < 0.11
+
+
+class TestPoseFusionFilter:
+    def _fly(self, f, noise, seed=0, n=50, dt_us=200_000):
+        """Straight-line flight at 5 m/s east, fused from noisy poses."""
+        rng = np.random.default_rng(seed)
+        t = 1_000_000
+        for i in range(n):
+            t += dt_us
+            true_pos = np.array([5.0 * (t - 1_000_000) / 1e6, 0.0, 100.0])
+            meas = true_pos + rng.normal(0, noise, 3)
+            f.submit("deep", t, meas, euler_to_quat(0, 0, 0),
+                     np.diag([noise**2] * 3 + [0.01] * 3))
+        return t, true_pos
+
+    def test_smooths_noisy_absolute_poses(self):
+        f = PoseFusionFilter({"deep": SensorConfig()})
+        rng = np.random.default_rng(1)
+        t = 1_000_000
+        meas_errs, filt_errs, vels = [], [], []
+        for i in range(200):
+            t += 200_000
+            true_pos = np.array([5.0 * (t - 1_000_000) / 1e6, 0.0, 100.0])
+            meas = true_pos + rng.normal(0, 3.0, 3)
+            f.submit("deep", t, meas, euler_to_quat(0, 0, 0),
+                     np.diag([9.0] * 3 + [0.01] * 3))
+            out = f.state_at(t)
+            if i > 50:  # after settling
+                meas_errs.append(np.linalg.norm(meas - true_pos))
+                filt_errs.append(np.linalg.norm(out["position"] - true_pos))
+                vels.append(out["velocity_body"][0])
+        # the filter must beat the raw measurements on average...
+        assert np.mean(filt_errs) < 0.75 * np.mean(meas_errs)
+        # ...and learn the velocity from positions alone
+        assert np.isclose(np.mean(vels), 5.0, atol=1.0)
+
+    def test_differential_vo_initializes_after_absolute(self):
+        f = PoseFusionFilter({
+            "deep": SensorConfig(),
+            "vo": SensorConfig(differential=True),
+        })
+        q = euler_to_quat(0, 0, 0)
+        # VO before init must not crash nor initialize
+        f.submit("vo", 1_000_000, [0, 0, 0], q)
+        assert not f.initialized
+        f.submit("deep", 1_100_000, [0, 0, 100], q)
+        assert f.initialized
+        # now feed VO deltas implying 2 m/s x
+        t = 1_100_000
+        for i in range(20):
+            t += 100_000
+            f.submit("vo", t, [2.0 * (t - 1_100_000) / 1e6, 0, 0], q,
+                     np.diag([0.01] * 6))
+        out = f.state_at(t)
+        assert np.isclose(out["velocity_body"][0], 2.0, atol=0.5)
+
+    def test_stale_measurements_dropped(self):
+        f = PoseFusionFilter({"deep": SensorConfig()})
+        q = euler_to_quat(0, 0, 0)
+        f.submit("deep", 2_000_000, [0, 0, 0], q)
+        f.submit("deep", 1_000_000, [100, 100, 100], q)  # stale
+        out = f.state_at(2_000_000)
+        assert np.linalg.norm(out["position"]) < 1.0
+
+    def test_state_at_extrapolates(self):
+        f = PoseFusionFilter({"deep": SensorConfig()})
+        t, true_pos = self._fly(f, noise=0.1)
+        out = f.state_at(t + 1_000_000)  # 1 s into the future
+        expect_x = true_pos[0] + 5.0
+        assert np.isclose(out["position"][0], expect_x, atol=1.0)
