@@ -79,12 +79,23 @@ class PoseFusionFilter:
 
     def set_pose(self, stamp_us: int, position, quat_xyzw) -> None:
         """Hard-set the filter pose (the reference seeds its EKF once via the
-        /robot_localization/set_pose service, ``pose_node.py:135-168``)."""
+        /robot_localization/set_pose service, ``pose_node.py:135-168``).
+
+        Pose states start tight; velocity/acceleration start WIDE (the
+        vehicle may already be moving fast when the filter initializes —
+        with a tiny velocity variance the filter would refuse to learn
+        motion and lag badly, then overshoot).
+        """
         rpy = quat_to_euler(np.asarray(quat_xyzw))
         x0 = np.zeros(15, np.float32)
         x0[0:3] = np.asarray(position)
         x0[3:6] = rpy
-        self._state = ekf_init(x0, p0_diag=1e-6)
+        p0 = np.concatenate([
+            np.full(6, 1e-4, np.float32),  # pose: trusted
+            np.full(6, 25.0, np.float32),  # velocity: unknown (+-5 m/s SD)
+            np.full(3, 10.0, np.float32),  # acceleration: unknown
+        ])
+        self._state = ekf_init(x0, p0_diag=p0)
         self._stamp_us = int(stamp_us)
 
     def _predict_to(self, stamp_us: int) -> None:

@@ -1,0 +1,112 @@
+"""FusionNode: EKF state fusion of the deep pose and VO pose streams.
+
+Replaces the two ``robot_localization`` processes of the reference
+(``launch/params/ekf_global_node.yaml`` / ``ekf_local_node.yaml`` in
+hmakelin/gisnav) with the in-framework JAX EKF: the global filter fuses the
+absolute map-frame pose plus differential VO, the local filter fuses VO only
+and yields the smooth ``gisnav_odom``-frame odometry that drives the
+mock-GPS outputs (only odom-frame odometry may drive GPS output — global
+jumps would corrupt velocity, ``_mock_gps_node.py:345-375``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from gisnav_tpu.constants import ROS_TOPIC_ROBOT_LOCALIZATION_ODOMETRY
+from gisnav_tpu.fusion import PoseFusionFilter
+from gisnav_tpu.fusion.filter import SensorConfig
+from gisnav_tpu.geometry.se3 import make_transform
+from gisnav_tpu.geometry.quaternion import quat_to_matrix
+from gisnav_tpu.nodes.base import Node
+from gisnav_tpu.nodes.pose_node import TOPIC_POSE
+from gisnav_tpu.nodes.twist_node import TOPIC_TWIST_POSE
+
+__all__ = ["FusionNode", "TOPIC_ODOMETRY"]
+
+TOPIC_ODOMETRY = ROS_TOPIC_ROBOT_LOCALIZATION_ODOMETRY
+
+
+class FusionNode(Node):
+    """Publishes filtered odometry in the ``gisnav_odom`` frame."""
+
+    def __init__(self, bus, params=None, tf=None):
+        super().__init__("fusion_node", bus, params, tf)
+        # global filter: absolute deep pose + differential VO
+        self.global_filter = PoseFusionFilter({
+            "pose": SensorConfig(),
+            "vo": SensorConfig(differential=True),
+        })
+        # local filter: VO only (absolute in the odom frame)
+        self.local_filter = PoseFusionFilter({"vo": SensorConfig()})
+        self._latest_global_match_stamp: Optional[int] = None
+        self.subscribe(TOPIC_POSE, self._pose_cb)
+        self.subscribe(TOPIC_TWIST_POSE, self._twist_pose_cb)
+
+    def _pose_cb(self, msg) -> None:
+        self._latest_global_match_stamp = msg["stamp_us"]
+        self.global_filter.submit(
+            "pose", msg["stamp_us"], msg["position"], msg["quat_xyzw"],
+            msg["covariance"],
+        )
+        if self.tf is not None:
+            # keep gisnav_map -> gisnav_base_link tf fresh from the global EKF
+            est = self.global_filter.state_at(msg["stamp_us"])
+            if est is not None:
+                self.tf.add(
+                    "gisnav_map", "gisnav_base_link",
+                    make_transform(quat_to_matrix(est["quat_xyzw"]),
+                                   est["position"]),
+                    msg["stamp_us"],
+                )
+
+    def _twist_pose_cb(self, msg) -> None:
+        self.global_filter.submit(
+            "vo", msg["stamp_us"], msg["position"], msg["quat_xyzw"],
+            msg["covariance"],
+        )
+        self.local_filter.submit(
+            "vo", msg["stamp_us"], msg["position"], msg["quat_xyzw"],
+            msg["covariance"],
+        )
+        self.tick(msg["stamp_us"])
+
+    def tick(self, stamp_us: int) -> Optional[dict]:
+        """Publish the current filtered odometry (reference output rate is
+        5 Hz; here it rides the VO input rate)."""
+        est = self.local_filter.state_at(stamp_us)
+        if est is None:
+            return None
+        cov = est["covariance"]
+        msg = {
+            "stamp_us": int(stamp_us),
+            "frame_id": "gisnav_odom",
+            "child_frame_id": "gisnav_base_link",
+            "position": est["position"],
+            "quat_xyzw": est["quat_xyzw"],
+            "pose_covariance": cov[:6, :6],
+            "velocity_body": est["velocity_body"],
+            "angular_velocity_body": est["angular_velocity_body"],
+            "twist_covariance": cov[6:12, 6:12],
+            "latest_global_match_stamp_us": self._latest_global_match_stamp,
+        }
+        self.publish(TOPIC_ODOMETRY, msg)
+        if self.tf is not None:
+            h_odom_base = make_transform(
+                quat_to_matrix(est["quat_xyzw"]), est["position"]
+            )
+            self.tf.add("gisnav_odom", "gisnav_base_link", h_odom_base,
+                        stamp_us)
+            # map -> odom closes the frame chain (robot_localization's
+            # world->odom tf): map<-base composed with base<-odom
+            g = self.global_filter.state_at(stamp_us)
+            if g is not None:
+                from gisnav_tpu.geometry.se3 import invert
+
+                h_map_base = make_transform(
+                    quat_to_matrix(g["quat_xyzw"]), g["position"]
+                )
+                self.tf.add("gisnav_map", "gisnav_odom",
+                            h_map_base @ invert(h_odom_base), stamp_us)
+        return msg

@@ -1,0 +1,163 @@
+"""PoseNode: deep/classical global pose from camera frame vs orthoimage.
+
+Capability parity with the reference PoseNode (``core/pose_node.py:186-497``
+in hmakelin/gisnav): match the frame against the current map raster, solve
+PnP, bootstrap the ``earth -> gisnav_map`` frame on the first valid fix, and
+publish the pose in the ``gisnav_map`` frame with the reference covariance
+template. Two backends:
+
+- ``classical`` (default): host SIFT + device MNN/PnP — works untrained;
+- ``deep``: the cached-reference SuperPoint+LightGlue device program
+  (requires trained/converted parameters).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from gisnav_tpu.constants import (
+    POSE_NODE_NAME,
+    ROS_NAMESPACE,
+    ROS_TOPIC_CAMERA_INFO,
+    ROS_TOPIC_IMAGE,
+    ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS,
+    ROS_TOPIC_RELATIVE_POSE,
+)
+from gisnav_tpu.geometry.crs import enu_to_ecef_matrix, proj_to_affine, wgs84_to_ecef
+from gisnav_tpu.geometry.quaternion import heading_deg_from_quat, matrix_to_quat
+from gisnav_tpu.geometry.se3 import invert, make_transform
+from gisnav_tpu.nodes.base import Node
+from gisnav_tpu.nodes.gis_node import TOPIC_ORTHOIMAGE
+from gisnav_tpu.pipeline import PipelineConfig
+from gisnav_tpu.pipeline.classical import classical_frame_to_geopose
+from gisnav_tpu.pipeline.geopose import geopose_to_wgs84_f64
+
+__all__ = ["PoseNode", "TOPIC_POSE"]
+
+TOPIC_POSE = (
+    f"/{ROS_NAMESPACE}/{POSE_NODE_NAME}/"
+    + ROS_TOPIC_RELATIVE_POSE.replace("~/", "")
+)
+
+# Reference covariance template: 3 m position SD, ~3 deg angle SD
+# (core/_shared.py:8-23)
+_POSE_COV = np.diag([9.0, 9.0, 9.0] + [np.radians(3.0) ** 2] * 3)
+
+
+class PoseNode(Node):
+    """Publishes the global pose in the ``gisnav_map`` frame."""
+
+    def __init__(self, bus, params=None, tf=None, deep_runner=None):
+        super().__init__(POSE_NODE_NAME, bus, params, tf)
+        self._camera_info = None
+        self._ortho = None
+        self._attitude = None
+        self._map_origin = None  # (H_earth_map 4x4, lon, lat)
+        self._config = PipelineConfig(
+            image_shape=tuple(self.param("image_shape", (480, 640))),
+            max_keypoints=int(self.param("max_keypoints", 1024)),
+            min_matches=int(self.param("min_matches", 15)),
+        )
+        self._deep_runner = deep_runner  # callable(query, ortho_msg) -> GeoPose
+        self.subscribe(ROS_TOPIC_CAMERA_INFO, self._camera_info_cb)
+        self.subscribe(TOPIC_ORTHOIMAGE, self._orthoimage_cb)
+        self.subscribe(
+            ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS, self._attitude_cb
+        )
+        self.subscribe(ROS_TOPIC_IMAGE, self._image_cb)
+
+    # -- inputs ------------------------------------------------------------
+
+    def _camera_info_cb(self, msg):
+        self._camera_info = msg
+
+    def _orthoimage_cb(self, msg):
+        self._ortho = msg
+
+    def _attitude_cb(self, msg):
+        self._attitude = msg
+
+    # -- core --------------------------------------------------------------
+
+    def _image_cb(self, msg) -> None:
+        pose = self.estimate(msg)
+        if pose is not None:
+            self.publish(TOPIC_POSE, pose)
+
+    def _rotation_deg(self) -> float:
+        """Camera-yaw rotation for the reference crop (classical backend
+        aligns the raster like the reference StereoNode; the deep backend is
+        rotation-robust and ignores this)."""
+        if self._attitude is None:
+            return 0.0
+        heading = heading_deg_from_quat(np.asarray(self._attitude["quat_xyzw"]))
+        # cv2 rotation is CCW-positive: rotating the map by -heading aligns
+        # map north with camera up
+        return float(-heading)
+
+    def estimate(self, image_msg) -> Optional[dict]:
+        if self._ortho is None or self._camera_info is None:
+            return None
+        query = image_msg["image"]
+        h, w = self._config.image_shape
+        if query.shape != (h, w):
+            self.log.warning("frame shape %s != configured %s", query.shape,
+                             (h, w))
+            return None
+
+        aff = proj_to_affine(self._ortho["crs"])
+        aff4 = np.eye(4)
+        aff4[:3, :] = aff
+        if self._deep_runner is not None:
+            geopose = self._deep_runner(query, self._ortho)
+        else:
+            geopose = classical_frame_to_geopose(
+                query,
+                self._ortho["image"],
+                self._ortho["dem"],
+                self._rotation_deg(),
+                self._camera_info["k"],
+                aff4,
+                self._config,
+            )
+        if not bool(geopose.valid):
+            self.log.debug("no valid pose (%d matches)",
+                           int(geopose.num_matches))
+            return None
+
+        out = geopose_to_wgs84_f64(geopose, aff4)
+        return self._to_map_frame(image_msg["stamp_us"], out)
+
+    # -- frame bootstrap ---------------------------------------------------
+
+    def _to_map_frame(self, stamp_us: int, wgs84: dict) -> dict:
+        """Bootstrap ``earth -> gisnav_map`` on the first fix, then express
+        the camera pose in the map (local ENU) frame
+        (reference ``pose_node.py:389-473``)."""
+        ecef = np.asarray(wgs84["ecef"])
+        if self._map_origin is None:
+            r = enu_to_ecef_matrix(wgs84["lon"], wgs84["lat"])
+            origin = np.array(
+                wgs84_to_ecef(wgs84["lon"], wgs84["lat"], 0.0)
+            )
+            h_earth_map = make_transform(r, origin)
+            self._map_origin = (h_earth_map, wgs84["lon"], wgs84["lat"])
+            if self.tf is not None:
+                self.tf.add("earth", "gisnav_map", h_earth_map, stamp_us,
+                            static=True)
+        h_earth_map, _, _ = self._map_origin
+
+        pos_map = (invert(h_earth_map) @ np.append(ecef, 1.0))[:3]
+        # camera orientation in map(ENU) frame
+        r_map_cam = np.asarray(wgs84["r_enu_cam"])
+        return {
+            "stamp_us": int(stamp_us),
+            "frame_id": "gisnav_map",
+            "position": pos_map,
+            "quat_xyzw": matrix_to_quat(r_map_cam),
+            "covariance": _POSE_COV.copy(),
+            "lon": wgs84["lon"],
+            "lat": wgs84["lat"],
+            "alt_ellipsoid": wgs84["alt_ellipsoid"],
+        }
