@@ -24,7 +24,7 @@ from gisnav_tpu.matching.mnn import mnn_ratio_match
 from gisnav_tpu.pipeline.geopose import GeoPose, PipelineConfig, assemble_geopose
 from gisnav_tpu.pnp.dem import gather_elevation
 from gisnav_tpu.pnp.ransac import ransac_pnp
-from gisnav_tpu.raster.warp import rotate_and_crop_center
+from gisnav_tpu.raster import rotate_and_crop_auto
 
 __all__ = ["classical_frame_to_geopose"]
 
@@ -106,7 +106,7 @@ def classical_frame_to_geopose(
         [jnp.asarray(ortho, jnp.float32), jnp.asarray(dem, jnp.float32)], axis=-1
     )
     warped, m_crop = jax.jit(
-        rotate_and_crop_center, static_argnames="crop_shape"
+        rotate_and_crop_auto, static_argnames="crop_shape"
     )(stack, jnp.float32(rotation_deg), crop_shape=(h, w))
     ref_img = np.clip(np.asarray(warped[:, :, 0]), 0, 255).astype(np.uint8)
     dem_crop = warped[:, :, 1]

@@ -37,7 +37,7 @@ from gisnav_tpu.geometry.jaxops import (
 from gisnav_tpu.matching.lightglue import LightGlue
 from gisnav_tpu.pnp.dem import gather_elevation
 from gisnav_tpu.pnp.ransac import ransac_pnp
-from gisnav_tpu.raster.warp import rotate_and_crop_center
+from gisnav_tpu.raster import rotate_and_crop_auto
 
 __all__ = [
     "PipelineConfig",
@@ -135,7 +135,7 @@ def build_frame_to_geopose(
            ) -> GeoPose:
         # 1. reference raster: fused rotate + center crop (one gather)
         stack = jnp.stack([ortho, dem], axis=-1)
-        warped, m_crop = rotate_and_crop_center(stack, rotation_deg, (h, w))
+        warped, m_crop = rotate_and_crop_auto(stack, rotation_deg, (h, w))
         ref_img = warped[:, :, 0]
         dem_crop = warped[:, :, 1]
 
