@@ -1,0 +1,114 @@
+"""Command-line interface.
+
+The reference ships ``gnc``, a Docker-Compose wrapper CLI
+(``debian/gisnav/usr/bin/gnc`` in hmakelin/gisnav). This framework runs as a
+single process owning the TPU, so the CLI launches the node graph directly:
+
+    python -m gisnav_tpu run --protocol uorb --params params.json
+    python -m gisnav_tpu bench
+    python -m gisnav_tpu doctor
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_run(args) -> int:
+    from gisnav_tpu.nodes import GisNavApp
+    from gisnav_tpu.nodes.bus import LocalBus, ShmBus
+
+    params = {}
+    if args.params:
+        with open(args.params) as f:
+            params = json.load(f)
+    bus = ShmBus(namespace=args.namespace) if args.shm else LocalBus(
+        async_dispatch=True
+    )
+    app = GisNavApp(bus=bus, params=params, protocol=args.protocol,
+                    wfst=args.wfst)
+    app.spin(gis_rate_hz=args.gis_rate)
+    print(f"gisnav_tpu running (protocol={args.protocol}, "
+          f"transport={'shm' if args.shm else 'local'}); Ctrl-C to stop")
+    try:
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        stats = app.shutdown()
+        print(json.dumps(stats, indent=2, default=str))
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    del args
+    import bench  # repo-root benchmark
+
+    bench.main()
+    return 0
+
+
+def _cmd_doctor(args) -> int:
+    """Environment self-check (devices, native lib, WMS reachability)."""
+    ok = True
+    try:
+        import jax
+
+        devs = jax.devices()
+        print(f"[ok] jax {jax.__version__}, devices: {devs}")
+    except Exception as e:  # noqa: BLE001
+        print(f"[FAIL] jax: {e}")
+        ok = False
+    try:
+        from gisnav_tpu.nodes.bus import build_native_lib
+
+        print(f"[ok] native shm bus: {build_native_lib()}")
+    except Exception as e:  # noqa: BLE001
+        print(f"[FAIL] native shm bus build: {e}")
+        ok = False
+    if args.wms_url:
+        from gisnav_tpu.gis import WMSClient
+
+        if WMSClient(args.wms_url, timeout_s=3.0).is_available():
+            print(f"[ok] WMS reachable: {args.wms_url}")
+        else:
+            print(f"[WARN] WMS not reachable: {args.wms_url}")
+    try:
+        import cv2  # noqa: F401
+
+        print("[ok] cv2 (host SIFT / decode available)")
+    except Exception:  # noqa: BLE001
+        print("[WARN] cv2 missing: classical backend unavailable")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gisnav_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="launch the full node graph")
+    run.add_argument("--protocol", choices=("uorb", "nmea", "ubx"),
+                     default="uorb")
+    run.add_argument("--params", help="JSON file with per-node parameters")
+    run.add_argument("--shm", action="store_true",
+                     help="use the shared-memory bus (multi-process graphs)")
+    run.add_argument("--namespace", default="gisnav")
+    run.add_argument("--wfst", action="store_true",
+                     help="also run the WFS-T telemetry sink")
+    run.add_argument("--gis-rate", type=float, default=1.0)
+    run.set_defaults(fn=_cmd_run)
+
+    bench_p = sub.add_parser("bench", help="run the headline benchmark")
+    bench_p.set_defaults(fn=_cmd_bench)
+
+    doctor = sub.add_parser("doctor", help="environment self-check")
+    doctor.add_argument("--wms-url", default=None)
+    doctor.set_defaults(fn=_cmd_doctor)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
