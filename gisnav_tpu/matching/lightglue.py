@@ -77,7 +77,21 @@ def _apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
 
 
 def _attention(q, k, v, mask_k, compute_dtype):
-    """Masked scaled dot-product attention. q/k/v: (K, H, D); mask_k: (Kk,)."""
+    """Masked scaled dot-product attention. q/k/v: (K, H, D); mask_k: (Kk,).
+
+    On TPU with aligned shapes the Pallas kernel keeps the (Kq, Kk) logits in
+    VMEM (XLA materializes them in HBM, which makes the 9-layer matcher
+    HBM-bound at 2048x4096); other backends/shapes use the einsum path.
+    """
+    if jax.default_backend() not in ("cpu",):
+        from gisnav_tpu.matching.pallas_attention import (
+            masked_attention_pallas,
+            pallas_attention_supported,
+        )
+
+        if pallas_attention_supported(q.shape[0], k.shape[0], q.shape[-1]):
+            return masked_attention_pallas(q, k, v, mask_k, compute_dtype)
+
     dh = q.shape[-1]
     logits = jnp.einsum(
         "qhd,khd->hqk", q.astype(compute_dtype), k.astype(compute_dtype),
