@@ -1,4 +1,5 @@
 """Feature matching: LightGlue attention matcher + classical MNN/ratio matcher."""
+from gisnav_tpu.matching.loftr import LoFTR, LoFTRMatches  # noqa: F401
 from gisnav_tpu.matching.lightglue import (  # noqa: F401
     LightGlue,
     MatchResult,
