@@ -49,6 +49,24 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _cmd_train(args) -> int:
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    from gisnav_tpu.train.loop import train
+    from gisnav_tpu.train.steps import TrainConfig
+
+    cfg = TrainConfig(
+        image_shape=tuple(args.image_shape),
+        max_keypoints=args.max_keypoints,
+        lightglue_depth=args.depth,
+        learning_rate=args.lr,
+    )
+    train(steps=args.steps, batch_size=args.batch, config=cfg,
+          ckpt_dir=args.ckpt_dir)
+    return 0
+
+
 def _cmd_doctor(args) -> int:
     """Environment self-check (devices, native lib, WMS reachability)."""
     ok = True
@@ -101,6 +119,16 @@ def main(argv=None) -> int:
 
     bench_p = sub.add_parser("bench", help="run the headline benchmark")
     bench_p.set_defaults(fn=_cmd_bench)
+
+    tr = sub.add_parser("train", help="self-supervised matcher training")
+    tr.add_argument("--steps", type=int, default=1000)
+    tr.add_argument("--batch", type=int, default=8)
+    tr.add_argument("--image-shape", type=int, nargs=2, default=(128, 160))
+    tr.add_argument("--max-keypoints", type=int, default=256)
+    tr.add_argument("--depth", type=int, default=3)
+    tr.add_argument("--lr", type=float, default=1e-4)
+    tr.add_argument("--ckpt-dir", default=None)
+    tr.set_defaults(fn=_cmd_train)
 
     doctor = sub.add_parser("doctor", help="environment self-check")
     doctor.add_argument("--wms-url", default=None)

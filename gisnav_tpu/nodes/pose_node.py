@@ -126,8 +126,40 @@ class PoseNode(Node):
                            int(geopose.num_matches))
             return None
 
+        if self.param("dev_topics", False):
+            self._publish_dev_images(image_msg, geopose)
+
         out = geopose_to_wgs84_f64(geopose, aff4)
         return self._to_map_frame(image_msg["stamp_us"], out)
+
+    def _publish_dev_images(self, image_msg, geopose) -> None:
+        """Dev topics: match image + camera-position image (reference
+        ``~/dev/matches_image`` / ``~/dev/position_image``,
+        ``pose_node.py:145-151,310-346``)."""
+        from gisnav_tpu.nodes.viz import draw_matches, draw_position
+
+        m = np.asarray(geopose.m_crop, np.float64)
+        mkp_ref = np.asarray(geopose.matched_ref, np.float64)
+        ones = np.ones((len(mkp_ref), 1))
+        ref_full = (np.hstack([mkp_ref, ones]) @ m.T)[:, :2]
+        mask = np.asarray(geopose.match_mask)
+        stamp = image_msg["stamp_us"]
+
+        matches_img = draw_matches(
+            image_msg["image"], self._ortho["image"],
+            np.asarray(geopose.matched_qry), ref_full, mask,
+        )
+        self.publish(f"/{ROS_NAMESPACE}/{POSE_NODE_NAME}/dev/matches_image",
+                     {"stamp_us": stamp, "image": matches_img})
+
+        cam = np.asarray(geopose.cam_pos_raster, np.float64)
+        cam_full = (m @ np.array([cam[0], cam[1], 1.0]))[:2]
+        pos_img = draw_position(self._ortho["image"], cam_full, ref_full, mask)
+        if pos_img is not None:
+            self.publish(
+                f"/{ROS_NAMESPACE}/{POSE_NODE_NAME}/dev/position_image",
+                {"stamp_us": stamp, "image": pos_img},
+            )
 
     # -- frame bootstrap ---------------------------------------------------
 

@@ -60,8 +60,15 @@ class TwistNode(Node):
         self._ground_alt = float(self.param("ground_altitude_m", 0.0))
         self._max_kp = int(self.param("max_keypoints", 1024))
         self._initialized = False
+        self._attitude = None
         self.subscribe(ROS_TOPIC_CAMERA_INFO, self._camera_info_cb)
         self.subscribe(ROS_TOPIC_MAVROS_GLOBAL_POSITION, self._nav_fix_cb)
+        from gisnav_tpu.constants import (
+            ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS,
+        )
+
+        self.subscribe(ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS,
+                       self._attitude_cb)
         self.subscribe(ROS_TOPIC_IMAGE, self._image_cb)
 
     def _camera_info_cb(self, msg):
@@ -71,6 +78,26 @@ class TwistNode(Node):
         self._distance_to_ground = max(
             msg["alt_ellipsoid"] - self._ground_alt, 1.0
         )
+
+    def _attitude_cb(self, msg):
+        self._attitude = msg
+
+    def _camera_pointed_at_ground(self) -> bool:
+        """Gate VO on the camera looking closer to nadir than half the
+        horizontal FOV (reference semantics, ``twist_node.py:323-353``: the
+        ground-plane scaling assumption breaks off-nadir)."""
+        if self._attitude is None or self._camera_info is None:
+            return True  # no attitude source: assume nadir rig
+        from gisnav_tpu.geometry.quaternion import quat_rotate
+
+        fwd_enu = quat_rotate(
+            np.asarray(self._attitude["quat_xyzw"]), np.array([0.0, 0.0, 1.0])
+        )  # camera optical +z in ENU
+        cos_nadir = -fwd_enu[2] / max(np.linalg.norm(fwd_enu), 1e-9)
+        angle_off_nadir = np.arccos(np.clip(cos_nadir, -1.0, 1.0))
+        k = np.asarray(self._camera_info["k"]).reshape(3, 3)
+        hfov = 2.0 * np.arctan(self._camera_info["width"] / (2.0 * k[0, 0]))
+        return bool(angle_off_nadir < np.pi / 2 - hfov / 2)
 
     def initialize_pose(self, h_odom_cam: np.ndarray) -> None:
         """Seed the cumulative pose (e.g. from the first global fix); until
@@ -85,6 +112,9 @@ class TwistNode(Node):
 
     def step(self, image_msg) -> Optional[dict]:
         if self._camera_info is None:
+            return None
+        if not self._camera_pointed_at_ground():
+            self._prev = None  # do not match across a gimbal slew
             return None
         feats = pad_features(
             *extract_sift(image_msg["image"], self._max_kp), self._max_kp

@@ -76,3 +76,21 @@ class TestMesh:
         # params keep their TP sharding through the update
         kernel = state2.params["lightglue"]["params"]["final_proj"]["kernel"]
         assert isinstance(kernel.sharding, NamedSharding)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        from gisnav_tpu.train import (
+            init_train_state,
+            latest_step,
+            load_params,
+            save_params,
+        )
+
+        state, _ = init_train_state(jax.random.PRNGKey(0), SMALL)
+        save_params(str(tmp_path), 7, state.params)
+        assert latest_step(str(tmp_path)) == 7
+        restored = load_params(str(tmp_path), like=state.params)
+        a = jax.tree.leaves(state.params)
+        b = jax.tree.leaves(restored)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
