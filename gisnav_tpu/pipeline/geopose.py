@@ -64,6 +64,10 @@ class PipelineConfig:
     threshold_px: float = 8.0  # RANSAC inlier threshold
     refine_iters: int = 10
     score_threshold: float = 0.0005  # SuperPoint detector threshold
+    detector_downsample: int = 1  # 2 = run SuperPoint at half resolution
+    # (the official SuperPoint/LightGlue tooling resizes inputs to <=1024 px;
+    # at flight altitudes the accuracy cost is small and the conv trunk cost
+    # drops ~4x — the headline bench uses full resolution)
 
 
 class GeoPose(NamedTuple):
@@ -340,8 +344,16 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
     lg = LightGlue(depth=config.lightglue_depth,
                    filter_threshold=config.filter_threshold)
 
+    ds = config.detector_downsample
+
     def fn(params, query, ref_feats, dem, k, crs_affine, key) -> GeoPose:
-        f_qry = sp.apply(params["superpoint"], query)
+        if ds > 1:
+            hq, wq = query.shape
+            pooled = query.reshape(hq // ds, ds, wq // ds, ds).mean((1, 3))
+            f_qry = sp.apply(params["superpoint"], pooled)
+            f_qry = f_qry._replace(keypoints=f_qry.keypoints * ds)
+        else:
+            f_qry = sp.apply(params["superpoint"], query)
 
         match = lg.apply(
             params["lightglue"],
