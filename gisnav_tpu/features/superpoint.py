@@ -53,6 +53,11 @@ class SuperPoint(nn.Module):
     border: int = 4
     descriptor_dim: int = 256
     compute_dtype: jnp.dtype = jnp.bfloat16
+    detector_mode: str = "learned"  # "learned" (SuperPoint head) | "harris"
+    # "harris": parameter-free device Harris response replaces the learned
+    # detector head, so the descriptor/matcher stack trains in-framework with
+    # repeatable keypoints and no external detector checkpoint (the score
+    # threshold is interpreted on the normalized Harris response)
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> SuperPointFeatures:
@@ -79,16 +84,22 @@ class SuperPoint(nn.Module):
         x = _vgg_block(x, 128, "conv4a", dt)
         x = _vgg_block(x, 128, "conv4b", dt)
 
-        # Detector head: 65 = 8x8 cell + dustbin
-        cpa = nn.relu(
-            nn.Conv(256, (3, 3), padding="SAME", name="convPa", dtype=dt)(x)
-        )
-        logits = nn.Conv(65, (1, 1), name="convPb", dtype=dt)(cpa)
-        logits = logits.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
         hc, wc = h // 8, w // 8
-        heatmap = probs.reshape(b, hc, wc, 8, 8)
-        heatmap = heatmap.transpose(0, 1, 3, 2, 4).reshape(b, h, w)
+        if self.detector_mode == "harris":
+            from gisnav_tpu.features.harris import harris_response
+
+            heatmap = jax.vmap(harris_response)(image.astype(jnp.float32))
+        else:
+            # Detector head: 65 = 8x8 cell + dustbin
+            cpa = nn.relu(
+                nn.Conv(256, (3, 3), padding="SAME", name="convPa",
+                        dtype=dt)(x)
+            )
+            logits = nn.Conv(65, (1, 1), name="convPb", dtype=dt)(cpa)
+            logits = logits.astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # no dustbin
+            heatmap = probs.reshape(b, hc, wc, 8, 8)
+            heatmap = heatmap.transpose(0, 1, 3, 2, 4).reshape(b, h, w)
 
         # Descriptor head
         cda = nn.relu(
@@ -96,8 +107,10 @@ class SuperPoint(nn.Module):
         )
         dmap = nn.Conv(self.descriptor_dim, (1, 1), name="convDb", dtype=dt)(cda)
         dmap = dmap.astype(jnp.float32)  # (B, hc, wc, D)
-        dmap = dmap / jnp.maximum(
-            jnp.linalg.norm(dmap, axis=-1, keepdims=True), 1e-8
+        # smooth normalization: linalg.norm has a NaN gradient at exactly
+        # zero rows (the maximum() clamp does not protect sqrt'(0))
+        dmap = dmap * jax.lax.rsqrt(
+            jnp.sum(dmap * dmap, axis=-1, keepdims=True) + 1e-12
         )
 
         def select_and_sample(heat, dm):
@@ -149,7 +162,9 @@ def _sample_descriptors(kpts: jnp.ndarray, dmap: jnp.ndarray, stride: int
         + v10 * (1 - fx) * fy
         + v11 * fx * fy
     )
-    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
+    return out * jax.lax.rsqrt(
+        jnp.sum(out * out, axis=-1, keepdims=True) + 1e-12
+    )
 
 
 def extract_features(

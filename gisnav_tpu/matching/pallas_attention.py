@@ -12,6 +12,8 @@ f32 softmax, bf16 matmul inputs with f32 accumulation.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -32,8 +34,12 @@ def pallas_attention_supported(kq: int, kk: int, head_dim: int) -> bool:
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def masked_attention_pallas(q, k, v, mask_k, compute_dtype=jnp.bfloat16):
     """softmax(q k^T / sqrt(D) + mask_bias) v with a key-side mask.
+
+    Forward runs the Mosaic kernel; the backward pass (training) recomputes
+    the attention weights with the analytic gradients in plain XLA.
 
     :param q: (Kq, H, D)
     :param k, v: (Kk, H, D)
@@ -84,3 +90,30 @@ def masked_attention_pallas(q, k, v, mask_k, compute_dtype=jnp.bfloat16):
         out_shape=jax.ShapeDtypeStruct((h, kq, d), jnp.float32),
     )(qh, kh, vh, bias)
     return jnp.transpose(out, (1, 0, 2))
+
+
+def _attention_fwd(q, k, v, mask_k, compute_dtype=jnp.bfloat16):
+    out = masked_attention_pallas(q, k, v, mask_k, compute_dtype)
+    return out, (q, k, v, mask_k)
+
+
+def _attention_bwd(compute_dtype, residuals, g):
+    """Analytic attention backward (recompute weights in f32 XLA)."""
+    del compute_dtype
+    q, k, v, mask_k = residuals
+    d = q.shape[-1]
+    scale = 1.0 / float(d) ** 0.5
+    logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    logits = jnp.where(mask_k[None, None, :], logits, -1e9)
+    p = jax.nn.softmax(logits, axis=-1)  # (H, Kq, Kk)
+    gf = g.astype(jnp.float32)
+    dv = jnp.einsum("hqk,qhd->khd", p, gf)
+    dp = jnp.einsum("qhd,khd->hqk", gf, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("hqk,khd->qhd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("hqk,qhd->khd", ds, q.astype(jnp.float32)) * scale
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
+
+
+masked_attention_pallas.defvjp(_attention_fwd, _attention_bwd)

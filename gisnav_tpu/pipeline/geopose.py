@@ -65,6 +65,7 @@ class PipelineConfig:
     refine_iters: int = 10
     score_threshold: float = 0.0005  # SuperPoint detector threshold
     detector_downsample: int = 1  # 2 = run SuperPoint at half resolution
+    detector_mode: str = "learned"  # "learned" | "harris" (see SuperPoint)
     # (the official SuperPoint/LightGlue tooling resizes inputs to <=1024 px;
     # at flight altitudes the accuracy cost is small and the conv trunk cost
     # drops ~4x — the headline bench uses full resolution)
@@ -91,7 +92,8 @@ def init_pipeline_params(key: jax.Array, config: PipelineConfig) -> dict:
     """Initialize (or hold converted) SuperPoint + LightGlue parameters."""
     h, w = config.image_shape
     sp = SuperPoint(max_keypoints=config.max_keypoints,
-                    score_threshold=config.score_threshold)
+                    score_threshold=config.score_threshold,
+                    detector_mode=config.detector_mode)
     k1, k2 = jax.random.split(key)
     img = jnp.zeros((h, w), jnp.float32)
     sp_params = sp.init(k1, img)
@@ -131,7 +133,8 @@ def build_frame_to_geopose(
     """
     h, w = config.image_shape
     sp = SuperPoint(max_keypoints=config.max_keypoints,
-                    score_threshold=config.score_threshold)
+                    score_threshold=config.score_threshold,
+                    detector_mode=config.detector_mode)
     lg = LightGlue(depth=config.lightglue_depth,
                    filter_threshold=config.filter_threshold)
 
@@ -318,6 +321,7 @@ def build_reference_extractor(config: PipelineConfig):
     sp = SuperPoint(
         max_keypoints=config.max_keypoints * 2,
         score_threshold=config.score_threshold,
+        detector_mode=config.detector_mode,
     )
 
     def extract(params, ortho: jnp.ndarray):
@@ -340,7 +344,8 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
     h, w = config.image_shape
     oh, ow = config.ortho_shape
     sp = SuperPoint(max_keypoints=config.max_keypoints,
-                    score_threshold=config.score_threshold)
+                    score_threshold=config.score_threshold,
+                    detector_mode=config.detector_mode)
     lg = LightGlue(depth=config.lightglue_depth,
                    filter_threshold=config.filter_threshold)
 

@@ -1,0 +1,80 @@
+"""Device-side training-pair generation (fully jit-compiled).
+
+Generating supervision ON the accelerator removes the host->device data path
+from the training loop entirely (important here: the dev tunnel to the TPU
+moves ~15 MB/s, and production pods want input pipelines off the host too):
+multi-octave textures come from ``jax.image.resize`` of random grids, and the
+partner view is an affine warp (rotation/scale/translation — the warp kernel
+family the pipeline itself uses) with the exact 3x3 ground-truth transform.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gisnav_tpu.raster.warp import warp_affine
+
+__all__ = ["device_batch"]
+
+
+def _texture(key, shape: Tuple[int, int]) -> jnp.ndarray:
+    h, w = shape
+    keys = jax.random.split(key, 4)
+    acc = jnp.zeros((h, w), jnp.float32)
+    for k, octave in zip(keys, (6, 16, 48, 128)):
+        grid = jax.random.uniform(k, (octave, octave), jnp.float32)
+        acc = acc + jax.image.resize(grid, (h, w), method="cubic")
+    acc = acc - jnp.min(acc)
+    return acc / jnp.maximum(jnp.max(acc), 1e-6)
+
+
+def _random_affine(key, shape: Tuple[int, int], max_angle_deg: float,
+                   max_scale: float, max_shift: float) -> jnp.ndarray:
+    """3x3 affine mapping img0 pixel coords to img1 pixel coords."""
+    h, w = shape
+    ka, ks, kx, ky = jax.random.split(key, 4)
+    ang = jnp.radians(
+        jax.random.uniform(ka, (), minval=-max_angle_deg, maxval=max_angle_deg)
+    )
+    s = 1.0 + jax.random.uniform(ks, (), minval=-max_scale, maxval=max_scale)
+    tx = jax.random.uniform(kx, (), minval=-max_shift, maxval=max_shift) * w
+    ty = jax.random.uniform(ky, (), minval=-max_shift, maxval=max_shift) * h
+    c, si = jnp.cos(ang) * s, jnp.sin(ang) * s
+    cx, cy = w / 2.0, h / 2.0
+    # rotate+scale about the image center, then shift
+    a = jnp.array(
+        [
+            [c, -si, cx - c * cx + si * cy + tx],
+            [si, c, cy - si * cx - c * cy + ty],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    return a
+
+
+def device_batch(key, batch: int, shape: Tuple[int, int],
+                 max_angle_deg: float = 40.0, max_scale: float = 0.2,
+                 max_shift: float = 0.12):
+    """(image0, image1, transform) batch generated on device.
+
+    ``transform`` maps image0 pixels to image1 pixels (last row [0, 0, 1]),
+    directly usable as the training ground truth "homography".
+    """
+    def one(k):
+        k_tex, k_aff, k_pho = jax.random.split(k, 3)
+        img0 = _texture(k_tex, shape)
+        a = _random_affine(k_aff, shape, max_angle_deg, max_scale, max_shift)
+        img1 = warp_affine(img0[..., None], jnp.linalg.inv(a), shape)[..., 0]
+        # photometric gap between the views (the real query camera and the
+        # orthoimagery come from different sensors/seasons)
+        kg, kb, kn = jax.random.split(k_pho, 3)
+        gain = 1.0 + jax.random.uniform(kg, (), minval=-0.3, maxval=0.3)
+        bias = jax.random.uniform(kb, (), minval=-0.15, maxval=0.15)
+        noise = 0.02 * jax.random.normal(kn, shape)
+        img1 = jnp.clip(img1 * gain + bias + noise, 0.0, 1.0)
+        return img0, img1, a
+
+    keys = jax.random.split(key, batch)
+    return jax.vmap(one)(keys)

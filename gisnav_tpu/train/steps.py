@@ -37,6 +37,7 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 1e-5
     gt_radius_px: float = 3.0  # keypoint-reprojection radius for positives
+    detector_mode: str = "learned"  # "harris" = train descriptors/matcher only
 
 
 def init_train_state(key, config: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
@@ -44,6 +45,7 @@ def init_train_state(key, config: TrainConfig) -> Tuple[TrainState, optax.Gradie
         image_shape=config.image_shape,
         max_keypoints=config.max_keypoints,
         lightglue_depth=config.lightglue_depth,
+        detector_mode=config.detector_mode,
     )
     params = init_pipeline_params(key, pcfg)
     tx = optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
@@ -86,7 +88,8 @@ def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
     (B, 3, 3) homographies; the whole forward runs batched via vmap.
     """
     h, w = config.image_shape
-    sp = SuperPoint(max_keypoints=config.max_keypoints)
+    sp = SuperPoint(max_keypoints=config.max_keypoints,
+                    detector_mode=config.detector_mode)
     lg = LightGlue(depth=config.lightglue_depth, filter_threshold=0.0)
 
     def loss_fn(params, image0, image1, homography):
