@@ -20,25 +20,42 @@ __all__ = ["device_batch"]
 
 
 def _texture(key, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Multi-octave noise mixed with thresholded blobs (corner-rich regions
+    resembling built structures; pure noise alone transfers poorly to
+    imagery with man-made edges)."""
     h, w = shape
-    keys = jax.random.split(key, 4)
+    keys = jax.random.split(key, 6)
     acc = jnp.zeros((h, w), jnp.float32)
-    for k, octave in zip(keys, (6, 16, 48, 128)):
+    for k, octave in zip(keys[:4], (6, 16, 48, 128)):
         grid = jax.random.uniform(k, (octave, octave), jnp.float32)
         acc = acc + jax.image.resize(grid, (h, w), method="cubic")
     acc = acc - jnp.min(acc)
-    return acc / jnp.maximum(jnp.max(acc), 1e-6)
+    acc = acc / jnp.maximum(jnp.max(acc), 1e-6)
+    # blob layer: hard-thresholded coarse noise = sharp-cornered regions
+    blob_grid = jax.random.uniform(keys[4], (24, 24), jnp.float32)
+    blobs = jax.image.resize(blob_grid, (h, w), method="cubic")
+    level = jax.random.uniform(keys[5], (), minval=0.4, maxval=0.6)
+    blobs = (blobs > level).astype(jnp.float32)
+    return 0.55 * acc + 0.45 * blobs
 
 
 def _random_affine(key, shape: Tuple[int, int], max_angle_deg: float,
                    max_scale: float, max_shift: float) -> jnp.ndarray:
-    """3x3 affine mapping img0 pixel coords to img1 pixel coords."""
+    """3x3 affine mapping img0 pixel coords to img1 pixel coords.
+
+    Scale is log-uniform in [1/(1+max_scale), 1+max_scale] so a 2x zoom-out
+    is as likely as a 2x zoom-in (the deployed matcher sees query/map GSD
+    ratios of 2-3x from the FOV-padded map sizing).
+    """
     h, w = shape
     ka, ks, kx, ky = jax.random.split(key, 4)
     ang = jnp.radians(
         jax.random.uniform(ka, (), minval=-max_angle_deg, maxval=max_angle_deg)
     )
-    s = 1.0 + jax.random.uniform(ks, (), minval=-max_scale, maxval=max_scale)
+    log_s = jax.random.uniform(
+        ks, (), minval=-jnp.log(1.0 + max_scale), maxval=jnp.log(1.0 + max_scale)
+    )
+    s = jnp.exp(log_s)
     tx = jax.random.uniform(kx, (), minval=-max_shift, maxval=max_shift) * w
     ty = jax.random.uniform(ky, (), minval=-max_shift, maxval=max_shift) * h
     c, si = jnp.cos(ang) * s, jnp.sin(ang) * s
@@ -55,7 +72,7 @@ def _random_affine(key, shape: Tuple[int, int], max_angle_deg: float,
 
 
 def device_batch(key, batch: int, shape: Tuple[int, int],
-                 max_angle_deg: float = 40.0, max_scale: float = 0.2,
+                 max_angle_deg: float = 180.0, max_scale: float = 1.6,
                  max_shift: float = 0.12):
     """(image0, image1, transform) batch generated on device.
 
