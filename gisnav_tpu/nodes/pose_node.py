@@ -59,7 +59,20 @@ class PoseNode(Node):
             max_keypoints=int(self.param("max_keypoints", 1024)),
             min_matches=int(self.param("min_matches", 15)),
         )
-        self._deep_runner = deep_runner  # callable(query, ortho_msg) -> GeoPose
+        self._deep_runner = deep_runner
+        if self._deep_runner is None and self.param("backend") == "deep":
+            try:
+                from gisnav_tpu.pipeline.runners import (
+                    PRETRAINED_CONFIG,
+                    make_deep_runner,
+                )
+
+                self._deep_runner = make_deep_runner()
+                self._config = PRETRAINED_CONFIG
+            except FileNotFoundError as e:
+                self.log.warning(
+                    "deep backend requested but %s; using classical", e
+                )
         self.subscribe(ROS_TOPIC_CAMERA_INFO, self._camera_info_cb)
         self.subscribe(TOPIC_ORTHOIMAGE, self._orthoimage_cb)
         self.subscribe(
@@ -110,7 +123,10 @@ class PoseNode(Node):
         aff4 = np.eye(4)
         aff4[:3, :] = aff
         if self._deep_runner is not None:
-            geopose = self._deep_runner(query, self._ortho)
+            geopose = self._deep_runner(
+                query, self._ortho["image"], self._ortho["dem"],
+                self._rotation_deg(), self._camera_info["k"], aff4,
+            )
         else:
             geopose = classical_frame_to_geopose(
                 query,

@@ -1,9 +1,12 @@
 """Bundled pretrained weights: in-framework-trained descriptor + matcher.
 
-``weights/gisnav_tpu_harris_lg9.npz`` holds parameters trained from scratch
-with ``python -m gisnav_tpu train`` (self-supervised affine-pair matching,
-Harris detector mode — no external checkpoints involved; see ``train/``).
-Stored as a flattened float16 npz to keep the repository small.
+``weights/gisnav_tpu_harris_lg5.npz`` holds parameters trained from scratch
+on TPU with the self-supervised affine-pair recipe (Harris detector mode,
+5-layer LightGlue, scale augmentation to 2.6x, 45-degree residual rotations
+— no external checkpoints involved; see ``train/``). Stored as a flattened
+float16 npz (13.6 MB) to keep the repository small. Use with::
+
+    PipelineConfig(detector_mode="harris", lightglue_depth=5, ...)
 
 Usage::
 
@@ -21,7 +24,7 @@ import numpy as np
 __all__ = ["load_pretrained", "save_npz", "load_npz", "PRETRAINED_PATH"]
 
 PRETRAINED_PATH = os.path.join(
-    os.path.dirname(__file__), "..", "weights", "gisnav_tpu_harris_lg9.npz"
+    os.path.dirname(__file__), "..", "weights", "gisnav_tpu_harris_lg5.npz"
 )
 
 
