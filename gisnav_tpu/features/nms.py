@@ -13,7 +13,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["simple_nms", "select_keypoints"]
+__all__ = ["simple_nms", "select_keypoints", "refine_subpixel"]
 
 
 def simple_nms(scores: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
@@ -87,7 +87,38 @@ def select_keypoints(
             axis=1,
         )
     valid = scores > score_threshold
+    keypoints = refine_subpixel(heatmap, keypoints)
     return keypoints, scores, valid
+
+
+def refine_subpixel(heatmap: jnp.ndarray, keypoints: jnp.ndarray,
+                    temperature: float = 0.1) -> jnp.ndarray:
+    """Sub-pixel keypoint refinement: soft-argmax over each 3x3 peak
+    neighborhood of the detector heatmap.
+
+    Integer peak locations quantize at the detector resolution (2.7 m at the
+    coarse map GSDs the FOV-padded map sizing produces); the soft-argmax
+    offset recovers a fraction of that.
+
+    :param heatmap: (H, W) detector scores
+    :param keypoints: (K, 2) integer-valued xy peaks
+    :return: (K, 2) refined xy (offsets clamped to +-0.5 px)
+    """
+    h, w = heatmap.shape
+    x = keypoints[:, 0].astype(jnp.int32)
+    y = keypoints[:, 1].astype(jnp.int32)
+    offs = jnp.array([-1, 0, 1])
+    # (K, 3, 3) neighborhoods (clamped at borders)
+    yy = jnp.clip(y[:, None, None] + offs[None, :, None], 0, h - 1)
+    xx = jnp.clip(x[:, None, None] + offs[None, None, :], 0, w - 1)
+    vals = heatmap[yy, xx]
+    weights = jax.nn.softmax(
+        vals.reshape(-1, 9) / temperature, axis=-1
+    ).reshape(-1, 3, 3)
+    dx = jnp.sum(weights * offs[None, None, :].astype(jnp.float32), axis=(1, 2))
+    dy = jnp.sum(weights * offs[None, :, None].astype(jnp.float32), axis=(1, 2))
+    delta = jnp.stack([dx, dy], axis=1)
+    return keypoints + jnp.clip(delta, -0.5, 0.5)
 
 
 def _top_k(values: jnp.ndarray, k: int):
