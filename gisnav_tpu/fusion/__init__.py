@@ -7,3 +7,8 @@ from gisnav_tpu.fusion.ekf import (  # noqa: F401
     ekf_update_velocity,
 )
 from gisnav_tpu.fusion.filter import PoseFusionFilter  # noqa: F401
+from gisnav_tpu.fusion.ukf import (  # noqa: F401
+    ukf_predict,
+    ukf_update_pose,
+    ukf_update_velocity,
+)

@@ -63,7 +63,20 @@ class PoseFusionFilter:
         self,
         sensors: Dict[str, SensorConfig],
         process_noise: Optional[np.ndarray] = None,
+        backend: str = "ekf",
     ):
+        """``backend``: "ekf" (default) or "ukf" — the reference runs its
+        global filter as a UKF and its local one as an EKF."""
+        if backend == "ukf":
+            from gisnav_tpu.fusion import ukf as _k
+
+            self._predict = _k.ukf_predict
+            self._update_pose = _k.ukf_update_pose
+            self._update_velocity = _k.ukf_update_velocity
+        else:
+            self._predict = ekf_predict
+            self._update_pose = ekf_update_pose
+            self._update_velocity = ekf_update_velocity
         self._sensors = dict(sensors)
         self._q = np.asarray(
             process_noise if process_noise is not None else _DEFAULT_Q,
@@ -101,7 +114,7 @@ class PoseFusionFilter:
     def _predict_to(self, stamp_us: int) -> None:
         dt = (stamp_us - self._stamp_us) / 1e6
         if dt > 0:
-            self._state = ekf_predict(self._state, np.float32(dt), self._q)
+            self._state = self._predict(self._state, np.float32(dt), self._q)
             self._stamp_us = int(stamp_us)
 
     def submit(self, sensor: str, stamp_us: int, position, quat_xyzw,
@@ -133,7 +146,7 @@ class PoseFusionFilter:
         if not cfg.differential:
             rpy = quat_to_euler(quat_xyzw)
             z = np.concatenate([position, rpy]).astype(np.float32)
-            self._state = ekf_update_pose(self._state, z, r_diag, mask)
+            self._state = self._update_pose(self._state, z, r_diag, mask)
         else:
             prev = self._prev_pose.get(sensor)
             self._prev_pose[sensor] = (int(stamp_us), position, quat_xyzw)
@@ -149,7 +162,7 @@ class PoseFusionFilter:
             q_delta = quat_mul(quat_inverse(q0), quat_xyzw)
             w_body = np.asarray(quat_to_euler(q_delta)) / dt
             z = np.concatenate([v_body, w_body]).astype(np.float32)
-            self._state = ekf_update_velocity(
+            self._state = self._update_velocity(
                 self._state, z, r_diag / max(dt, 1e-3), mask
             )
 
@@ -165,7 +178,7 @@ class PoseFusionFilter:
         state = self._state
         dt = (stamp_us - self._stamp_us) / 1e6
         if dt > 0:
-            state = ekf_predict(state, np.float32(dt), self._q)
+            state = self._predict(state, np.float32(dt), self._q)
         x = np.asarray(state.x, np.float64)
         from gisnav_tpu.geometry.quaternion import euler_to_quat
 

@@ -1,0 +1,89 @@
+"""15-state Unscented Kalman Filter in JAX (sigma-point transform).
+
+The reference's GLOBAL filter is robot_localization's UKF (``ekf_global_node``
+— see ``launch/params/ekf_global_node.yaml`` in hmakelin/gisnav; the local
+one is an EKF). This mirrors ``fusion.ekf``'s interface with the
+Merwe-scaled sigma-point transform, so ``PoseFusionFilter`` can run either
+backend. The whole predict/update is a handful of fixed-size matmuls — one
+fused XLA program each, like the EKF.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gisnav_tpu.fusion.ekf import (
+    EKFState,
+    POSE_DIM,
+    STATE_DIM,
+    _transition,
+    _wrap_angle,
+)
+
+__all__ = ["ukf_predict", "ukf_update_pose", "ukf_update_velocity"]
+
+_ALPHA, _BETA, _KAPPA = 1e-2, 2.0, 0.0
+_LAMBDA = _ALPHA**2 * (STATE_DIM + _KAPPA) - STATE_DIM
+_N_SIGMA = 2 * STATE_DIM + 1
+
+_WM = jnp.concatenate([
+    jnp.array([_LAMBDA / (STATE_DIM + _LAMBDA)]),
+    jnp.full(2 * STATE_DIM, 0.5 / (STATE_DIM + _LAMBDA)),
+])
+_WC = _WM.at[0].add(1.0 - _ALPHA**2 + _BETA)
+
+
+def _sigma_points(x, p):
+    """Merwe scaled sigma points (2n+1, n)."""
+    # Cholesky of a symmetrized, jittered covariance for robustness
+    psym = 0.5 * (p + p.T) + 1e-9 * jnp.eye(STATE_DIM)
+    sqrt_p = jnp.linalg.cholesky((STATE_DIM + _LAMBDA) * psym)
+    deltas = sqrt_p.T  # rows are scaled columns of the sqrt
+    return jnp.concatenate([x[None], x[None] + deltas, x[None] - deltas])
+
+
+@jax.jit
+def ukf_predict(state: EKFState, dt, q_diag) -> EKFState:
+    """Unscented predict: propagate sigma points through the motion model."""
+    sigmas = _sigma_points(state.x, state.p)
+    prop = jax.vmap(partial(_transition, dt=dt))(sigmas)
+    x_new = prop.T @ _WM
+    diff = prop - x_new[None]
+    p_new = jnp.einsum("i,ij,ik->jk", _WC, diff, diff)
+    p_new = p_new + jnp.diag(q_diag) * jnp.maximum(dt, 1e-6)
+    x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
+    return EKFState(x=x_new, p=p_new)
+
+
+def _ukf_update(state: EKFState, z, r_diag, mask, obs_slice) -> EKFState:
+    sigmas = _sigma_points(state.x, state.p)
+    zs = sigmas[:, obs_slice]  # linear observation of a state slice
+    z_pred = zs.T @ _WM
+    dz = zs - z_pred[None]
+    dx = sigmas - state.x[None]
+    r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
+    s = jnp.einsum("i,ij,ik->jk", _WC, dz, dz) + r
+    c = jnp.einsum("i,ij,ik->jk", _WC, dx, dz)
+    k = c @ jnp.linalg.inv(s)
+    innov = z - z_pred
+    if obs_slice.start == 0:  # pose observation: wrap angle residuals
+        innov = innov.at[3:6].set(_wrap_angle(innov[3:6]))
+    innov = innov * mask
+    x_new = state.x + k @ innov
+    x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
+    p_new = state.p - k @ s @ k.T
+    return EKFState(x=x_new, p=p_new)
+
+
+@jax.jit
+def ukf_update_pose(state: EKFState, z, r_diag, mask) -> EKFState:
+    """Unscented update with a 6-DoF pose measurement."""
+    return _ukf_update(state, z, r_diag, mask, slice(0, POSE_DIM))
+
+
+@jax.jit
+def ukf_update_velocity(state: EKFState, z, r_diag, mask) -> EKFState:
+    """Unscented update with a body-frame velocity measurement."""
+    return _ukf_update(state, z, r_diag, mask, slice(6, 12))

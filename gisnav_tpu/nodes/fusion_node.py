@@ -34,10 +34,13 @@ class FusionNode(Node):
     def __init__(self, bus, params=None, tf=None):
         super().__init__("fusion_node", bus, params, tf)
         # global filter: absolute deep pose + differential VO
-        self.global_filter = PoseFusionFilter({
-            "pose": SensorConfig(),
-            "vo": SensorConfig(differential=True),
-        })
+        self.global_filter = PoseFusionFilter(
+            {
+                "pose": SensorConfig(),
+                "vo": SensorConfig(differential=True),
+            },
+            backend=self.param("global_filter", "ukf"),  # reference: UKF
+        )
         # local filter: VO only (absolute in the odom frame)
         self.local_filter = PoseFusionFilter({"vo": SensorConfig()})
         self._latest_global_match_stamp: Optional[int] = None

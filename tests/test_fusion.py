@@ -126,3 +126,48 @@ class TestPoseFusionFilter:
         out = f.state_at(t + 1_000_000)  # 1 s into the future
         expect_x = true_pos[0] + 5.0
         assert np.isclose(out["position"][0], expect_x, atol=1.0)
+
+
+class TestUKF:
+    def test_predict_matches_ekf_on_smooth_dynamics(self):
+        from gisnav_tpu.fusion import ekf_predict, ukf_predict
+
+        x0 = np.zeros(15, np.float32)
+        x0[5] = 0.7  # yaw
+        x0[6] = 3.0  # body vx
+        x0[11] = 0.2  # yaw rate
+        # with a tight covariance the sigma spread is tiny, so the unscented
+        # mean must coincide with the EKF's propagated mean (with a wide P
+        # they legitimately differ — that is the point of the UKF)
+        s = ekf_init(x0, p0_diag=1e-6)
+        q = np.full(15, 1e-5, np.float32)
+        se = ekf_predict(s, np.float32(0.2), q)
+        su = ukf_predict(s, np.float32(0.2), q)
+        assert np.allclose(np.asarray(se.x), np.asarray(su.x), atol=5e-3)
+        assert np.allclose(np.asarray(se.p), np.asarray(su.p), atol=1e-4)
+
+    def test_ukf_update_pulls_toward_measurement(self):
+        from gisnav_tpu.fusion import ukf_update_pose
+
+        s = ekf_init(np.zeros(15, np.float32), p0_diag=1.0)
+        z = np.array([1.0, 2.0, 3.0, 0, 0, 0.5], np.float32)
+        s = ukf_update_pose(s, z, np.full(6, 0.01, np.float32),
+                            np.ones(6, np.float32))
+        assert np.allclose(np.asarray(s.x[:3]), [1, 2, 3], atol=0.05)
+        assert np.isclose(float(s.x[5]), 0.5, atol=0.01)
+
+    def test_full_filter_ukf_backend(self):
+        f = PoseFusionFilter({"deep": SensorConfig()}, backend="ukf")
+        rng = np.random.default_rng(3)
+        t = 1_000_000
+        errs = []
+        for i in range(100):
+            t += 200_000
+            true_pos = np.array([5.0 * (t - 1_000_000) / 1e6, 0.0, 100.0])
+            meas = true_pos + rng.normal(0, 2.0, 3)
+            f.submit("deep", t, meas, euler_to_quat(0, 0, 0),
+                     np.diag([4.0] * 3 + [0.01] * 3))
+            if i > 40:
+                out = f.state_at(t)
+                errs.append(np.linalg.norm(out["position"] - true_pos))
+        assert np.mean(errs) < 2.0
