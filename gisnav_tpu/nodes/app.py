@@ -110,9 +110,34 @@ class GisNavApp:
                     traceback.print_exc()
                 time.sleep(1.0 / gis_rate_hz)
 
-        t = threading.Thread(target=gis_timer, daemon=True)
-        t.start()
-        self._threads.append(t)
+        def health_timer():
+            while not self._stop.is_set():
+                try:
+                    self.bus.publish("/gisnav/health", self.health())
+                except Exception:  # noqa: BLE001
+                    pass
+                time.sleep(5.0)
+
+        for target in (gis_timer, health_timer):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def health(self, stale_after_s: float = 10.0) -> Dict[str, Dict]:
+        """Per-node liveness report (the reference relies on Docker
+        healthchecks + the autoheal container, SURVEY.md section 5; here the
+        graph is one process, so health is introspected directly). Published
+        to ``/gisnav/health`` by the spin loop for external monitors."""
+        now = time.time()
+        report = {}
+        for n in self.nodes:
+            idle = now - n.last_activity
+            report[n.name] = {
+                "idle_s": round(idle, 1),
+                "healthy": idle < stale_after_s or n.name in
+                ("wfst_node",),  # sinks may be legitimately idle
+            }
+        return report
 
     def shutdown(self) -> Dict[str, Dict]:
         """Stop timers; return per-node handler timing stats (the reference

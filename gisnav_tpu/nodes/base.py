@@ -29,6 +29,7 @@ class Node:
         self._params: Dict[str, Any] = dict(params or {})
         self.log = logging.getLogger(name)
         self._timings: Dict[str, list] = defaultdict(lambda: [0, 0.0])
+        self.last_activity: float = time.time()
 
     def param(self, key: str, default: Any = None) -> Any:
         return self._params.get(key, default)
@@ -47,6 +48,7 @@ class Node:
                 rec = self._timings[hname]
                 rec[0] += 1
                 rec[1] += time.perf_counter() - t0
+                self.last_activity = time.time()
 
         self.bus.subscribe(topic, wrapped)
 

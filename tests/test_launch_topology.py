@@ -88,3 +88,17 @@ class TestLaunchTopology:
         assert TOPIC_FOV_BOUNDING_BOX == "/gisnav/bbox_node/fov/bounding_box"
         assert (ROS_TOPIC_ROBOT_LOCALIZATION_ODOMETRY
                 == "/robot_localization/odometry/filtered")
+
+
+class TestHealth:
+    def test_health_report(self):
+        import time
+
+        app = GisNavApp(bus=_SpyBus(), protocol="uorb")
+        rep = app.health(stale_after_s=10.0)
+        assert set(n.name for n in app.nodes) == set(rep)
+        assert all(v["healthy"] for v in rep.values())  # just constructed
+        # simulate staleness
+        app.pose.last_activity = time.time() - 100
+        rep = app.health(stale_after_s=10.0)
+        assert not rep["pose_node"]["healthy"]
