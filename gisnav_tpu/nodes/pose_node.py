@@ -64,15 +64,32 @@ class PoseNode(Node):
             try:
                 from gisnav_tpu.pipeline.runners import (
                     PRETRAINED_CONFIG,
+                    make_cached_deep_runner,
                     make_deep_runner,
                 )
 
-                self._deep_runner = make_deep_runner()
+                # production default: cached-reference mode — map features
+                # extracted once per map refresh, HBM-resident between
+                # refreshes (the path bench.py measures); "warp" re-runs the
+                # extractor on a rotated crop per frame (StereoNode parity)
+                if self.param("deep_mode", "cached") == "warp":
+                    self._deep_runner = make_deep_runner()
+                else:
+                    self._deep_runner = make_cached_deep_runner()
                 self._config = PRETRAINED_CONFIG
             except FileNotFoundError as e:
                 self.log.warning(
                     "deep backend requested but %s; using classical", e
                 )
+        self._runner_takes_map_stamp = False
+        if self._deep_runner is not None:
+            import inspect
+
+            try:
+                sig = inspect.signature(self._deep_runner)
+                self._runner_takes_map_stamp = "map_stamp" in sig.parameters
+            except (TypeError, ValueError):
+                pass
         self.subscribe(ROS_TOPIC_CAMERA_INFO, self._camera_info_cb)
         self.subscribe(TOPIC_ORTHOIMAGE, self._orthoimage_cb)
         self.subscribe(
@@ -123,9 +140,12 @@ class PoseNode(Node):
         aff4 = np.eye(4)
         aff4[:3, :] = aff
         if self._deep_runner is not None:
+            kw = {}
+            if self._runner_takes_map_stamp:
+                kw["map_stamp"] = self._ortho.get("stamp_us")
             geopose = self._deep_runner(
                 query, self._ortho["image"], self._ortho["dem"],
-                self._rotation_deg(), self._camera_info["k"], aff4,
+                self._rotation_deg(), self._camera_info["k"], aff4, **kw,
             )
         else:
             geopose = classical_frame_to_geopose(
