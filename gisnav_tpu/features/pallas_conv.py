@@ -1,28 +1,31 @@
 """Fused VGG-stage conv kernels (Pallas/Mosaic) for the SuperPoint trunk.
 
-XLA lowers the 3x3 convs of the SuperPoint encoder at ~21 TF/s on v5e
-regardless of layout/dtype (measured round 1 — the trunk was 12.9 ms of the
-23.5 ms frame at 1080p, PLAN.md). These kernels recast each VGG stage
+XLA lowers the 3x3 convs of the SuperPoint encoder at ~15-21 TF/s on v5e
+regardless of layout/dtype (measured round 1: the conv trunk dominated the
+23.5 ms frame at 1080p, PLAN.md). This kernel recasts each VGG stage
 
-    conv3x3 -> relu -> conv3x3 -> relu [-> maxpool 2x2]
+    conv3x3 + bias + relu [-> conv3x3 + bias + relu]
 
-as ONE Mosaic program built on two ideas:
+as ONE Mosaic program built on three ideas:
 
-1. **Flat padded layout**: activations live as ``(rows * Wp, C)`` matrices
-   where each image row occupies ``Wp`` consecutive sublanes with zeroed pad
-   columns (col 0 and cols > W). A 3x3 tap shift ``(dy, dx)`` is then a
-   STATIC sublane roll by ``dy*Wp + dx`` — horizontal out-of-bounds reads
-   land in the zero pad columns, so SAME-padding needs no masks on the input
-   side.
-2. **Tap-paired MXU matmuls**: the nine shifted copies contract with the
-   ``(3, 3, Cin, Cout)`` kernel as four K=2*Cin matmuls plus one K=Cin
-   matmul, accumulating in f32. For Cin=64 this doubles MXU utilization vs
-   per-tap K=64 passes; for Cin=128 the pairs run at the full K=256.
+1. **Flat padded layout**: activations are ``(rows * S, L)`` matrices where
+   each image row occupies ``S`` consecutive sublanes and (for 64-channel
+   tensors) ``pack=2`` horizontally-adjacent pixels share a sublane (lane
+   blocks of C channels each), keeping the lane dimension at the hardware's
+   128 minimum. Zero pad columns provide SAME-padding reads.
+2. **Vertical taps are free**: a ``dy`` shift is a row shift = a sublane
+   slice at a multiple of ``S`` — aligned (S is a multiple of 8), so it
+   costs nothing. Only the two ``dx = +-1`` pixel shifts materialize rolled
+   copies (f32 sublane rotates — Mosaic's only supported rotate dtype).
+3. **Phase-blocked tap matmuls**: each (dy, u) shift pair contracts with a
+   ``(pack*C, pack*Cout)`` block matrix holding the taps that land on that
+   shift, f32-accumulated on the MXU at full 128+ lane width.
 
-The 2x2 maxpool runs in-kernel with a reshape trick: after pairing columns
-via ``max(y, roll(y, -1))``, reshaping ``(M, C) -> (M/2, 2C)`` puts every
-odd flat position in lanes ``[C:2C]``, so a static lane slice compacts the
-stride-2 selection without gathers.
+Row AND width tiling (with 2-pixel halos DMA'd from HBM) bound VMEM and the
+halo recompute overhead; the 2x2 maxpool between stages stays in XLA (one
+cheap fused reduction over the kernel's output). Cascaded SAME correctness:
+the intermediate activation re-zeroes everything outside the image (conv1
+computes garbage in the global halo; conv2 must see zeros there).
 
 Replaces the reference's OpenCV/torch conv stack on the hot path
 (``core/pose_node.py:226-297`` in hmakelin/gisnav runs SIFT + kornia on
@@ -30,20 +33,18 @@ CPU/CUDA); see features/superpoint.py for the model that calls this.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "fused_vgg_stage",
-    "pad_to_flat",
-    "flat_to_image",
+    "conv_stage",
+    "conv_stage_pallas",
     "pallas_conv_supported",
+    "vgg_stage_reference",
 ]
 
 
@@ -51,190 +52,232 @@ def _align(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def padded_width(w: int) -> int:
-    """Row stride Wp: >= w + 2 (one zero col each side), multiple of 8."""
-    return _align(w + 2, 8)
+def _pack_for(cin: int) -> int:
+    """Pixels per sublane: keep the lane dim at >= 128."""
+    return 2 if cin % 128 else 1
 
 
-def pallas_conv_supported(h: int, w: int, cin: int, cmid: int, cout: int,
-                          pool: bool) -> bool:
-    """Shapes the fused stage handles on TPU."""
-    if cin % 64 or cmid % 64 or cout % 64:
-        return False
-    if pool and (h % 2 or w % 2):
-        return False
-    # row tiling must divide H (tile size chosen in fused_vgg_stage)
-    return _pick_tile(h, w, cin, cmid) is not None
+def _geometry(h: int, w: int, cin: int, cmid: int, cout: int,
+              double: bool) -> Optional[Tuple[int, int, int, int]]:
+    """Pick (tr, tcv, lp, wq_tot): row tile, valid pair-cols per width tile,
+    pad pair-cols, total padded pair-cols. None if unsupported."""
+    pack = _pack_for(cin)
+    # pad/halo pair-cols each side: >= 2 px halo at any pack, and 8-aligned
+    # DMA column slices need tcv % 8 == 0 and tcs = tcv + 2*lp % 8 == 0
+    lp = 4
+    wv = w // pack
+    wq_tot = _align(lp + wv + lp, 8)
+    # v5e has a large VMEM; measured: tr=64 x tcs=200 x 128-lane double-conv
+    # tiles compile and run. Keep a margin for Mosaic's own buffers.
+    budget = 48 * 1024 * 1024
 
+    def vmem(tr, tcs):
+        m = (tr + 4) * tcs
+        l_in, l_mid, l_out = pack * cin, pack * cmid, pack * cout
+        lmax = max(l_in, l_mid, l_out)
+        return (
+            m * l_in * 2  # slab bf16
+            + 3 * m * lmax * 2  # three shifted bf16 buffers
+            + m * lmax * 4  # f32 roll transient
+            + m * max(l_mid, l_out) * 4  # live f32 accumulator
+            + (m * l_mid * 2 if double else 0)  # h1 bf16
+            + 2 * tr * (tcs - 2 * lp) * l_out * 2  # double-buffered out
+        )
 
-def _pick_tile(h: int, w: int, cin: int, cmid: int) -> Optional[int]:
-    """Largest even row-tile T dividing h that fits the VMEM budget."""
-    wp = padded_width(w)
-    for t in (32, 16, 8, 4, 2):
-        if h % t:
+    # candidate width tiles: full width, else 8-aligned tcv dividing wv
+    # (DMA column slice offsets must be provably 8-divisible); among the
+    # VMEM-feasible (tr, tcv) pairs pick the one with the least halo
+    # recompute overhead, tie-breaking toward fewer (larger) tiles
+    tcvs = [wv] + [
+        c for c in range(wv - 1, 7, -1) if wv % c == 0 and c % 8 == 0
+    ]
+    best = None
+    for tcv in tcvs:
+        tcs = wq_tot if tcv == wv else tcv + 2 * lp
+        if tcs % 8:
             continue
-        m = (t + 4) * wp
-        # slab bf16 + h bf16 + acc f32 + pair buffer bf16 + out block
-        est = (
-            m * cin * 2
-            + m * cmid * 2
-            + m * max(cin, cmid) * 4
-            + m * 2 * max(cin, cmid) * 2
-            + t * wp * cmid * 2
-        )
-        if est <= 11 * 1024 * 1024:
-            return t
-    return None
+        for tr in (128, 64, 32, 16, 8):
+            if h % tr or vmem(tr, tcs) > budget:
+                continue
+            overhead = (tr + 4) / tr * tcs / max(tcv, 1)
+            tiles = (h // tr) * (wv // tcv)
+            key = (round(overhead, 3), tiles)
+            if best is None or key < best[0]:
+                best = (key, (tr, tcv, lp, wq_tot))
+    return None if best is None else best[1]
 
 
-def pad_to_flat(x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """(H, W, C) image -> flat padded ((H+4) * Wp, C) with zero borders.
+def pallas_conv_supported(h: int, w: int, cin: int, cmid: int,
+                          cout: int, double: bool = True) -> bool:
+    if cin not in (64, 128, 256) or cmid % 64 or cout % 64:
+        return False
+    if _pack_for(cin) == 2 and (w % 2 or cmid % 64):
+        return False
+    return _geometry(h, w, cin, cmid, cout, double) is not None
 
-    Two zero rows top/bottom (halo for the two stacked convs) and zero pad
-    columns per row.
+
+def _schedule(w: jnp.ndarray, pack: int):
+    """Regroup a (3, 3, Cin, Cout) kernel into per-(dy, u) block matrices.
+
+    Output pixel phase e at pair-sublane q of row r reads source pixel
+    ``pack*q + e + dx`` of row ``r+dy``: within-row pair shift
+    ``u = (e + dx) // pack``, source phase ``(e + dx) % pack``. dy is
+    applied as an aligned row slice, u as a +-1 sublane roll. Returns
+    ``[((dy, u), (pack*Cin, pack*Cout))]``, traceable.
     """
-    h, w, c = x.shape
-    wp = padded_width(w)
-    out = jnp.zeros((h + 4, wp, c), dtype)
-    out = out.at[2:h + 2, 1:w + 1, :].set(x.astype(dtype))
-    return out.reshape((h + 4) * wp, c)
+    cin, cout = w.shape[2], w.shape[3]
+    mats = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            for e in range(pack):
+                u = (e + dx) // pack
+                half = (e + dx) % pack
+                key = (dy, u)
+                m = mats.get(key)
+                if m is None:
+                    m = jnp.zeros((pack * cin, pack * cout), jnp.float32)
+                mats[key] = m.at[
+                    half * cin:(half + 1) * cin, e * cout:(e + 1) * cout
+                ].add(w[dy + 1, dx + 1].astype(jnp.float32))
+    return sorted(mats.items())
 
 
-def flat_to_image(flat: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Flat valid-rows output (h * Wp, C) -> (h, w, C)."""
-    wp = padded_width(w)
-    c = flat.shape[-1]
-    return flat.reshape(h, wp, c)[:, 1:w + 1, :]
+def _conv_taps(shifted, keys, w_ref, w_base: int, l_in: int, l_out: int,
+               tcs: int, m_out: int):
+    """acc = sum over (dy, u) of dot(shifted[u][(1+dy)*tcs : +m_out], W).
 
-
-def _tap_offsets(wp: int) -> Tuple[int, ...]:
-    """Flat sublane offsets of the nine 3x3 taps, HWIO tap order."""
-    return tuple(
-        (ky - 1) * wp + (kx - 1) for ky in range(3) for kx in range(3)
-    )
-
-
-def _conv9(a, w_ref, cin: int, cout: int, offsets, compute_dtype):
-    """9-tap conv of flat activations ``a`` (M, Cin) against w (9*Cin, Cout),
-    accumulated in f32 as 4 paired + 1 single MXU matmuls."""
-    m = a.shape[0]
-    acc = jnp.zeros((m, cout), jnp.float32)
-    for i in range(4):
-        t0, t1 = 2 * i, 2 * i + 1
-        u = jnp.concatenate(
-            [
-                pltpu.roll(a, -offsets[t0], 0),
-                pltpu.roll(a, -offsets[t1], 0),
-            ],
-            axis=1,
-        )
+    ``shifted[u]`` are the three dx-shift buffers; the dy slice offsets are
+    multiples of tcs (aligned, free)."""
+    acc = jnp.zeros((m_out, l_out), jnp.float32)
+    for j, (dy, u) in enumerate(keys):
+        start = (1 + dy) * tcs
         acc = acc + jax.lax.dot_general(
-            u, w_ref[2 * i * cin:(2 * i + 2) * cin, :],
+            shifted[u][start:start + m_out, :],
+            w_ref[w_base + j * l_in:w_base + (j + 1) * l_in, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    acc = acc + jax.lax.dot_general(
-        pltpu.roll(a, -offsets[8], 0), w_ref[8 * cin:9 * cin, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     return acc
 
 
-def _colmask(m: int, wp: int, w: int):
-    """(M, 1) bool mask: True on valid columns (1..w), False on pads."""
-    xpos = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % wp
-    return (xpos >= 1) & (xpos <= w)
+def _dx_shifts(a, compute_dtype):
+    """Materialize the dx = -1, 0, +1 pixel-shift buffers of flat ``a``.
+
+    shifted[u][p] = a[p + u]; Mosaic sublane rotate needs >=0 shift and
+    32-bit data, so the two real shifts round-trip through f32."""
+    m = a.shape[0]
+    a32 = a.astype(jnp.float32)
+    return {
+        0: a,
+        -1: pltpu.roll(a32, 1, 0).astype(compute_dtype),
+        1: pltpu.roll(a32, m - 1, 0).astype(compute_dtype),
+    }
 
 
-def fused_vgg_stage(
-    x_flat: jnp.ndarray,
+def conv_stage_pallas(
+    x: jnp.ndarray,
     w1: jnp.ndarray,
     b1: jnp.ndarray,
-    w2: jnp.ndarray,
-    b2: jnp.ndarray,
+    w2: Optional[jnp.ndarray] = None,
+    b2: Optional[jnp.ndarray] = None,
     *,
-    h: int,
-    w: int,
-    pool: bool,
+    pool: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """conv3x3(w1)+relu -> conv3x3(w2)+relu [-> maxpool2x2] fused.
+    """conv3x3+relu [-> conv3x3+relu] [-> maxpool2x2], image in/out.
 
-    :param x_flat: ((h+4) * Wp, Cin) flat padded input (see pad_to_flat)
-    :param w1: (3, 3, Cin, Cmid) HWIO; w2: (3, 3, Cmid, Cout)
-    :return: flat valid-rows output — (h * Wp, Cout) bf16 when pool=False,
-        (h/2 * Wp/2-grid...) see below when pool=True: ((h//2) * Wpo, Cout)
-        with Wpo = Wp // 2; valid pooled columns are 0..w//2-1 of each
-        Wpo-stride row (garbage beyond — strip with XLA glue).
+    :param x: (H, W, Cin) activations (f32/bf16)
+    :param w1: (3, 3, Cin, Cmid) HWIO; w2 optionally (3, 3, Cmid, Cout)
+    :return: (H[/2], W[/2], Cout) float32
     """
-    cin = w1.shape[2]
+    h, w, cin = x.shape
     cmid = w1.shape[3]
-    cout = w2.shape[3]
-    wp = padded_width(w)
-    t = _pick_tile(h, w, cin, cmid)
-    assert t is not None, (h, w, cin, cmid)
-    if pool:
-        assert h % 2 == 0 and w % 2 == 0 and wp % 2 == 0
+    double = w2 is not None
+    cout = w2.shape[3] if double else cmid
+    pack = _pack_for(cin)
+    geo = _geometry(h, w, cin, cmid, cout, double)
+    assert geo is not None, (h, w, cin, cmid, cout)
+    tr, tcv, lp, wq_tot = geo
+    wv = w // pack
+    tcs = wq_tot if tcv == wv else tcv + 2 * lp
+    l_in, l_mid, l_out = pack * cin, pack * cmid, pack * cout
 
-    offsets = _tap_offsets(wp)
-    w1f = w1.reshape(9 * cin, cmid).astype(compute_dtype)
-    w2f = w2.reshape(9 * cmid, cout).astype(compute_dtype)
-    b1f = b1.astype(jnp.float32).reshape(1, cmid)
-    b2f = b2.astype(jnp.float32).reshape(1, cout)
+    # --- pack + pad input to (h+4, wq_tot, l_in), zeros outside image ----
+    xp = jnp.zeros((h + 4, wq_tot * pack, cin), compute_dtype)
+    xp = xp.at[2:h + 2, lp * pack:lp * pack + w, :].set(
+        x.astype(compute_dtype)
+    )
+    x_hbm = xp.reshape(h + 4, wq_tot, l_in)
 
-    m_in = (t + 4) * wp  # slab rows per tile (2 halo rows each side)
-    m_mid = m_in  # conv1 computed over the full slab (edges garbage)
+    sched1 = _schedule(jnp.asarray(w1), pack)
+    keys1 = tuple(k for k, _ in sched1)
+    stacked = [m for _, m in sched1]
+    if double:
+        sched2 = _schedule(jnp.asarray(w2), pack)
+        keys2 = tuple(k for k, _ in sched2)
+        w2_base_rows = len(stacked) * l_in
+        # pad conv2 blocks to the same row width? separate refs are simpler
+        w2f = jnp.concatenate([m for _, m in sched2], axis=0).astype(
+            compute_dtype
+        )
+        b2f = jnp.tile(b2.astype(jnp.float32), pack).reshape(1, l_out)
+    else:
+        keys2 = ()
+        w2f = jnp.zeros((1, l_out), compute_dtype)
+        b2f = jnp.zeros((1, l_out), jnp.float32)
+    w1f = jnp.concatenate(stacked, axis=0).astype(compute_dtype)
+    b1f = jnp.tile(b1.astype(jnp.float32), pack).reshape(1, l_mid)
 
-    def kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, slab, sem):
+    m_in = (tr + 4) * tcs
+    m_mid = (tr + 2) * tcs
+    m_out = tr * tcs
+
+    n_cols = wv // tcv
+
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, slab, sem):
         i = pl.program_id(0)
+        j = pl.program_id(1)
+        # single column tile: offset is literally 0 (tcv itself may be
+        # unaligned then, and Mosaic cannot prove j*tcv % 8 == 0)
+        col0 = 0 if n_cols == 1 else j * tcv
         cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * t * wp, m_in), :], slab, sem
+            x_ref.at[pl.ds(i * tr, tr + 4), pl.ds(col0, tcs), :],
+            slab, sem,
         )
         cp.start()
         cp.wait()
-        a = slab[...]
+        a = slab[...].reshape(m_in, l_in)
 
-        h1 = _conv9(a, w1_ref, cin, cmid, offsets, compute_dtype)
-        h1 = jnp.maximum(h1 + b1_ref[...], 0.0)
-        # zero the pad columns so conv2's roll trick stays exact
-        h1 = jnp.where(_colmask(m_mid, wp, w), h1, 0.0)
-        h1 = h1.astype(compute_dtype)
+        s = _dx_shifts(a, compute_dtype)
+        acc = _conv_taps(s, keys1, w1_ref, 0, l_in, l_mid, tcs, m_mid)
+        h1 = jnp.maximum(acc + b1_ref[...], 0.0)
 
-        y = _conv9(h1, w2_ref, cmid, cout, offsets, compute_dtype)
-        y = jnp.maximum(y + b2_ref[...], 0.0)
+        if double:
+            # cascaded SAME: zero h1 outside the image (global coords) so
+            # conv2 sees SAME-padding zeros, not conv1's halo garbage.
+            # h1 row 0 = local slab row 1 = global padded row i*tr + 1.
+            q = jax.lax.broadcasted_iota(jnp.int32, (m_mid, l_mid), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (m_mid, l_mid), 1)
+            gx = pack * (j * tcv + q % tcs - lp) + lane // cmid
+            gy = i * tr + 1 + q // tcs - 2
+            valid = (gx >= 0) & (gx < w) & (gy >= 0) & (gy < h)
+            h1 = jnp.where(valid, h1, 0.0).astype(compute_dtype)
+            s2 = _dx_shifts(h1, compute_dtype)
+            acc = _conv_taps(s2, keys2, w2_ref, 0, l_mid, l_out, tcs, m_out)
+            y = jnp.maximum(acc + b2_ref[...], 0.0)
+        else:
+            y = h1[tcs:(tr + 1) * tcs, :]
 
-        if not pool:
-            out_ref[...] = jnp.where(
-                _colmask(t * wp, wp, w),
-                y[2 * wp:(t + 2) * wp, :],
-                0.0,
-            ).astype(compute_dtype)
-            return
+        # extract the tile's valid (tr, tcv) region; sublane offset lp is
+        # misaligned, costing one small relayout copy per tile
+        out_ref[...] = (
+            y.reshape(tr, tcs, l_out)[:, lp:lp + tcv, :]
+            .astype(compute_dtype)
+        )
 
-        # --- fused 2x2 maxpool -----------------------------------------
-        # column pairs (1,2),(3,4),...: z[p] = max(y[p], y[p+1]); odd flat
-        # positions land in lanes [C:2C] after the (M, C) -> (M/2, 2C)
-        # reshape, so a static lane slice compacts the stride-2 pick.
-        yv = y[2 * wp:(t + 2) * wp, :]  # valid t rows
-        z = jnp.maximum(yv, pltpu.roll(yv, -1, 0))
-        zz = z.reshape(t * wp // 2, 2 * cout)[:, cout:]
-        # row pairs: leading-dim stride-2 slices after splitting rows
-        p2 = zz.reshape(t, wp // 2, cout)
-        pooled = jnp.maximum(p2[0::2], p2[1::2])  # (t/2, wp/2, cout)
-        out_ref[...] = pooled.reshape(t * wp // 4, cout).astype(compute_dtype)
-
-    if pool:
-        out_rows = t * wp // 4
-        out_shape = (h * wp // 4, cout)
-    else:
-        out_rows = t * wp
-        out_shape = (h * wp, cout)
-
-    grid = (h // t,)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(h // tr, wv // tcv),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -243,30 +286,113 @@ def fused_vgg_stage(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (out_rows, cout), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tr, tcv, l_out), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(out_shape, compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((h, wv, l_out), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((m_in, cin), compute_dtype),
+            pltpu.VMEM((tr + 4, tcs, l_in), compute_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(x_flat, w1f, b1f, w2f, b2f)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * pack * h * w * cin * cmid * (2 if double else 1),
+            bytes_accessed=(h + 4) * wq_tot * l_in * 2
+            + h * wv * l_out * 4,
+            transcendentals=0,
+        ),
+    )(x_hbm, w1f, b1f, w2f, b2f)
+
+    img = out.reshape(h, w, cout)
+    if pool:
+        img = img.reshape(h // 2, 2, w // 2, 2, cout).max(axis=(1, 3))
+    return img
 
 
-def vgg_stage_reference(x, w1, b1, w2, b2, *, pool: bool):
+def vgg_stage_reference(x, w1, b1, w2=None, b2=None, *, pool: bool):
     """XLA reference implementation for parity tests: (H, W, Cin) -> image."""
     def conv(v, wk, bk):
         out = jax.lax.conv_general_dilated(
-            v[None], wk, (1, 1), "SAME",
+            v.astype(wk.dtype)[None], wk, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )[0]
-        return jnp.maximum(out + bk, 0.0)
+        return jnp.maximum(
+            out.astype(jnp.float32) + bk, 0.0
+        ).astype(wk.dtype)
 
-    y = conv(conv(x, w1, b1), w2, b2)
+    y = conv(x, w1, b1)
+    if w2 is not None:
+        y = conv(y, w2, b2)
     if pool:
         hh, ww, c = y.shape
         y = y.reshape(hh // 2, 2, ww // 2, 2, c).max(axis=(1, 3))
     return y
+
+
+# ---------------------------------------------------------------------------
+# Autodiff-safe routing entry point
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+def _route(x, w1, b1, w2, b2, pool):
+    import os
+
+    h, w, cin = x.shape
+    double = w2 is not None
+    cmid = w1.shape[3]
+    cout = w2.shape[3] if double else cmid
+    if (
+        jax.default_backend() not in ("cpu",)
+        and not os.environ.get("GISNAV_TPU_FORCE_XLA_CONV")
+        and pallas_conv_supported(h, w, cin, cmid, cout, double)
+    ):
+        return conv_stage_pallas(x, w1, b1, w2, b2, pool=pool)
+    return vgg_stage_reference(
+        x,
+        w1.astype(jnp.bfloat16), b1,
+        None if w2 is None else w2.astype(jnp.bfloat16), b2,
+        pool=pool,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def conv_stage(x, w1, b1, w2=None, b2=None, pool=False):
+    """conv3x3+relu [-> conv3x3+relu] [-> maxpool2x2], (H, W, Cin) image.
+
+    Forward runs the fused Mosaic kernel on TPU (XLA reference elsewhere or
+    for unsupported shapes); the backward pass recomputes through the XLA
+    reference so training works without a hand-written conv VJP.
+    """
+    return _route(x, w1, b1, w2, b2, pool)
+
+
+def _conv_stage_fwd(x, w1, b1, w2, b2, pool):
+    return _route(x, w1, b1, w2, b2, pool), (x, w1, b1, w2, b2)
+
+
+def _conv_stage_bwd(pool, residuals, g):
+    x, w1, b1, w2, b2 = residuals
+    if w2 is None:
+        _, vjp = jax.vjp(
+            lambda xx, a1, c1: vgg_stage_reference(
+                xx, a1.astype(jnp.bfloat16), c1, pool=pool
+            ),
+            x, w1, b1,
+        )
+        dx, dw1, db1 = vjp(g.astype(jnp.float32))
+        return dx, dw1, db1, None, None
+    _, vjp = jax.vjp(
+        lambda xx, a1, c1, a2, c2: vgg_stage_reference(
+            xx, a1.astype(jnp.bfloat16), c1, a2.astype(jnp.bfloat16), c2,
+            pool=pool,
+        ),
+        x, w1, b1, w2, b2,
+    )
+    return vjp(g.astype(jnp.float32))
+
+
+conv_stage.defvjp(_conv_stage_fwd, _conv_stage_bwd)

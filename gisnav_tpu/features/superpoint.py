@@ -35,9 +35,37 @@ class SuperPointFeatures(NamedTuple):
     mask: jnp.ndarray  # (K,) bool — False for padded slots
 
 
-def _vgg_block(x, features, name, dtype):
-    x = nn.Conv(features, (3, 3), padding="SAME", name=name, dtype=dtype)(x)
-    return nn.relu(x)
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's exact param tree (HWIO kernel, bias).
+
+    The compute is routed explicitly (fused Pallas stage on TPU, XLA conv
+    elsewhere) instead of through nn.Conv, but checkpoints stay
+    layout-compatible with both nn.Conv and the torch converter
+    (features/convert.py).
+    """
+
+    features: int
+    kernel_hw: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kh, kw = self.kernel_hw
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
+def _conv_relu_xla(x, kernel, bias, dtype):
+    """Plain 3x3 SAME conv + relu (used for the 1-channel stem)."""
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return nn.relu(out.astype(jnp.float32) + bias).astype(dtype)
 
 
 class SuperPoint(nn.Module):
@@ -69,20 +97,33 @@ class SuperPoint(nn.Module):
         elif image.ndim == 3 and image.shape[-1] == 1:
             image, batched = image[None, :, :, 0], False
         b, h, w = image.shape
-        x = image[..., None].astype(self.compute_dtype)  # NHWC
-
         dt = self.compute_dtype
-        x = _vgg_block(x, 64, "conv1a", dt)
-        x = _vgg_block(x, 64, "conv1b", dt)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = _vgg_block(x, 64, "conv2a", dt)
-        x = _vgg_block(x, 64, "conv2b", dt)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = _vgg_block(x, 128, "conv3a", dt)
-        x = _vgg_block(x, 128, "conv3b", dt)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = _vgg_block(x, 128, "conv4a", dt)
-        x = _vgg_block(x, 128, "conv4b", dt)
+        from gisnav_tpu.features.pallas_conv import conv_stage
+
+        # parameter registration (nn.Conv-compatible tree, explicit compute)
+        k1a, b1a = _ConvParams(64, name="conv1a")(1)
+        k1b, b1b = _ConvParams(64, name="conv1b")(64)
+        k2a, b2a = _ConvParams(64, name="conv2a")(64)
+        k2b, b2b = _ConvParams(64, name="conv2b")(64)
+        k3a, b3a = _ConvParams(128, name="conv3a")(64)
+        k3b, b3b = _ConvParams(128, name="conv3b")(128)
+        k4a, b4a = _ConvParams(128, name="conv4a")(128)
+        k4b, b4b = _ConvParams(128, name="conv4b")(128)
+
+        # stem: 1->64 at full res is tiny FLOPs, XLA handles it at HBM speed
+        x = _conv_relu_xla(image[..., None], k1a, b1a, dt)
+
+        def trunk(v):
+            # fused VGG stages: Pallas on TPU (pallas_conv.py), XLA elsewhere
+            v = conv_stage(v, k1b, b1b, pool=True)
+            v = conv_stage(v, k2a, b2a, k2b, b2b, pool=True)
+            v = conv_stage(v, k3a, b3a, k3b, b3b, pool=True)
+            v = conv_stage(v, k4a, b4a, k4b, b4b, pool=False)
+            return v
+
+        # batch is 1-2 images in every pipeline mode: unrolled loop keeps the
+        # Pallas kernels un-vmapped (single-image grids)
+        x = jnp.stack([trunk(x[i]) for i in range(b)])
 
         hc, wc = h // 8, w // 8
         if self.detector_mode == "harris":
@@ -90,23 +131,28 @@ class SuperPoint(nn.Module):
 
             heatmap = jax.vmap(harris_response)(image.astype(jnp.float32))
         else:
-            # Detector head: 65 = 8x8 cell + dustbin
-            cpa = nn.relu(
-                nn.Conv(256, (3, 3), padding="SAME", name="convPa",
-                        dtype=dt)(x)
-            )
-            logits = nn.Conv(65, (1, 1), name="convPb", dtype=dt)(cpa)
-            logits = logits.astype(jnp.float32)
+            # Detector head: 65 = 8x8 cell + dustbin (3x3 conv fused, the
+            # 1x1 is a plain matmul)
+            kpa, bpa = _ConvParams(256, name="convPa")(128)
+            kpb, bpb = _ConvParams(65, kernel_hw=(1, 1), name="convPb")(256)
+            cpa = jnp.stack([conv_stage(x[i], kpa, bpa) for i in range(b)])
+            logits = jnp.einsum(
+                "bhwc,cd->bhwd", cpa.astype(dt), kpb[0, 0].astype(dt),
+                preferred_element_type=jnp.float32,
+            ) + bpb
             probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # no dustbin
             heatmap = probs.reshape(b, hc, wc, 8, 8)
             heatmap = heatmap.transpose(0, 1, 3, 2, 4).reshape(b, h, w)
 
         # Descriptor head
-        cda = nn.relu(
-            nn.Conv(256, (3, 3), padding="SAME", name="convDa", dtype=dt)(x)
-        )
-        dmap = nn.Conv(self.descriptor_dim, (1, 1), name="convDb", dtype=dt)(cda)
-        dmap = dmap.astype(jnp.float32)  # (B, hc, wc, D)
+        kda, bda = _ConvParams(256, name="convDa")(128)
+        kdb, bdb = _ConvParams(
+            self.descriptor_dim, kernel_hw=(1, 1), name="convDb")(256)
+        cda = jnp.stack([conv_stage(x[i], kda, bda) for i in range(b)])
+        dmap = jnp.einsum(
+            "bhwc,cd->bhwd", cda.astype(dt), kdb[0, 0].astype(dt),
+            preferred_element_type=jnp.float32,
+        ) + bdb  # (B, hc, wc, D)
         # smooth normalization: linalg.norm has a NaN gradient at exactly
         # zero rows (the maximum() clamp does not protect sqrt'(0))
         dmap = dmap * jax.lax.rsqrt(

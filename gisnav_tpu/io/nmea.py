@@ -173,4 +173,6 @@ def sentences_for_fix(
         out.append(make_rmc(timestamp, lat_deg, lon_deg, gs_knots,
                             float(np.degrees(cog))))
     out += make_gsv()
+    # reference publishes ZDA with every fix (nmea_node.py:166-170)
+    out.append(make_zda(timestamp))
     return out

@@ -29,6 +29,7 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+#include <signal.h>
 
 namespace {
 
@@ -41,11 +42,11 @@ struct SlotHeader {
 };
 
 struct BusHeader {
-  uint64_t magic;
+  std::atomic<uint64_t> magic;
   uint64_t nslots;
   uint64_t slot_size;
-  std::atomic<uint64_t> head;  // number of committed messages
-  std::atomic<uint64_t> writers;  // diagnostic
+  std::atomic<uint64_t> head;       // number of committed messages
+  std::atomic<uint64_t> writer_pid; // single-writer lock (0 = free)
   char name[64];
 };
 
@@ -76,14 +77,41 @@ uint64_t now_us() {
 extern "C" {
 
 // Create (or open existing) a topic segment. Returns nullptr on failure.
+//
+// Init race: only the process that wins O_CREAT|O_EXCL initializes; every
+// racer waits until the segment reaches full size AND the magic is
+// published with release ordering. Two processes can therefore never
+// re-initialize over each other (the round-1 bug: both observed
+// magic != kMagic on a shared O_CREAT fd and both wrote the header).
 void* shmbus_create(const char* name, uint64_t nslots, uint64_t slot_size) {
   const size_t map_size =
       sizeof(BusHeader) + nslots * (sizeof(SlotHeader) + slot_size);
-  int fd = shm_open(name, O_CREAT | O_RDWR, 0600);
-  if (fd < 0) return nullptr;
-  if (ftruncate(fd, static_cast<off_t>(map_size)) != 0) {
-    close(fd);
-    return nullptr;
+  bool initializer = true;
+  int fd = shm_open(name, O_CREAT | O_EXCL | O_RDWR, 0600);
+  if (fd < 0) {
+    if (errno != EEXIST) return nullptr;
+    initializer = false;
+    fd = shm_open(name, O_RDWR, 0600);
+    if (fd < 0) return nullptr;
+  }
+  if (initializer) {
+    if (ftruncate(fd, static_cast<off_t>(map_size)) != 0) {
+      close(fd);
+      shm_unlink(name);
+      return nullptr;
+    }
+  } else {
+    // wait (~2 s max) for the initializer's ftruncate
+    for (int spin = 0; spin < 20000; ++spin) {
+      struct stat st;
+      if (fstat(fd, &st) != 0) {
+        close(fd);
+        return nullptr;
+      }
+      if (static_cast<size_t>(st.st_size) >= map_size) break;
+      timespec ts{0, 100000};  // 0.1 ms
+      nanosleep(&ts, nullptr);
+    }
   }
   void* mem = mmap(nullptr, map_size, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
   if (mem == MAP_FAILED) {
@@ -95,15 +123,26 @@ void* shmbus_create(const char* name, uint64_t nslots, uint64_t slot_size) {
   bus->slots = reinterpret_cast<uint8_t*>(mem) + sizeof(BusHeader);
   bus->map_size = map_size;
   bus->fd = fd;
-  if (bus->header->magic != kMagic) {
-    // fresh segment: initialize
+  if (initializer) {
     bus->header->nslots = nslots;
     bus->header->slot_size = slot_size;
     bus->header->head.store(0, std::memory_order_relaxed);
-    bus->header->writers.store(0, std::memory_order_relaxed);
+    bus->header->writer_pid.store(0, std::memory_order_relaxed);
     strncpy(bus->header->name, name, sizeof(bus->header->name) - 1);
-    std::atomic_thread_fence(std::memory_order_release);
-    bus->header->magic = kMagic;
+    bus->header->magic.store(kMagic, std::memory_order_release);
+  } else {
+    // wait for the initializer to publish the header
+    for (int spin = 0; spin < 20000; ++spin) {
+      if (bus->header->magic.load(std::memory_order_acquire) == kMagic) break;
+      timespec ts{0, 100000};
+      nanosleep(&ts, nullptr);
+    }
+    if (bus->header->magic.load(std::memory_order_acquire) != kMagic) {
+      munmap(mem, map_size);
+      close(fd);
+      delete bus;
+      return nullptr;
+    }
   }
   return bus;
 }
@@ -128,7 +167,7 @@ void* shmbus_open(const char* name) {
   bus->slots = reinterpret_cast<uint8_t*>(mem) + sizeof(BusHeader);
   bus->map_size = st.st_size;
   bus->fd = fd;
-  if (bus->header->magic != kMagic) {
+  if (bus->header->magic.load(std::memory_order_acquire) != kMagic) {
     munmap(mem, st.st_size);
     close(fd);
     delete bus;
@@ -137,11 +176,44 @@ void* shmbus_open(const char* name) {
   return bus;
 }
 
+// Enforce the single-writer-per-topic contract: the first publisher CAS-es
+// its pid into the header; a stale lock (dead process) is taken over.
+// Returns 1 when this process holds the write lock, 0 otherwise.
+int shmbus_writer_acquire(void* handle) {
+  Bus* bus = static_cast<Bus*>(handle);
+  const uint64_t me = static_cast<uint64_t>(getpid());
+  uint64_t cur = bus->header->writer_pid.load(std::memory_order_acquire);
+  if (cur == me) return 1;
+  if (cur != 0) {
+    // take over only if the holder is gone
+    if (kill(static_cast<pid_t>(cur), 0) == 0 || errno != ESRCH) return 0;
+    if (!bus->header->writer_pid.compare_exchange_strong(
+            cur, me, std::memory_order_acq_rel)) {
+      return bus->header->writer_pid.load(std::memory_order_acquire) == me;
+    }
+    return 1;
+  }
+  uint64_t expect = 0;
+  if (bus->header->writer_pid.compare_exchange_strong(
+          expect, me, std::memory_order_acq_rel)) {
+    return 1;
+  }
+  return bus->header->writer_pid.load(std::memory_order_acquire) == me;
+}
+
+void shmbus_writer_release(void* handle) {
+  Bus* bus = static_cast<Bus*>(handle);
+  uint64_t me = static_cast<uint64_t>(getpid());
+  bus->header->writer_pid.compare_exchange_strong(
+      me, 0, std::memory_order_acq_rel);
+}
+
 // Publish one message. Returns the new head sequence, or 0 on failure
-// (payload too large).
+// (payload too large, or another live process holds the write lock).
 uint64_t shmbus_publish(void* handle, const uint8_t* data, uint64_t len) {
   Bus* bus = static_cast<Bus*>(handle);
   if (len > bus->header->slot_size) return 0;
+  if (!shmbus_writer_acquire(handle)) return 0;
   const uint64_t seq = bus->header->head.load(std::memory_order_relaxed);
   SlotHeader* slot = slot_at(bus, seq % bus->header->nslots);
   slot->seq.store(2 * seq + 1, std::memory_order_release);  // odd: writing

@@ -97,8 +97,15 @@ class GisNavApp:
             out.append(self.wfst)
         return out
 
-    def spin(self, gis_rate_hz: float = 1.0) -> None:
-        """Start background timers (non-blocking)."""
+    def spin(self, gis_rate_hz: float = 1.0,
+             fusion_rate_hz: float = 5.0) -> None:
+        """Start background timers (non-blocking).
+
+        :param fusion_rate_hz: fixed odometry output rate (the reference
+            publishes robot_localization at 5 Hz,
+            ``launch/params/ekf_global_node.yaml:13``) — keeps mock-GPS
+            output alive through VO dropouts
+        """
 
         def gis_timer():
             while not self._stop.is_set():
@@ -110,6 +117,16 @@ class GisNavApp:
                     traceback.print_exc()
                 time.sleep(1.0 / gis_rate_hz)
 
+        def fusion_timer():
+            while not self._stop.is_set():
+                try:
+                    self.fusion.tick_now()
+                except Exception:  # noqa: BLE001
+                    import traceback
+
+                    traceback.print_exc()
+                time.sleep(1.0 / fusion_rate_hz)
+
         def health_timer():
             while not self._stop.is_set():
                 try:
@@ -118,7 +135,7 @@ class GisNavApp:
                     pass
                 time.sleep(5.0)
 
-        for target in (gis_timer, health_timer):
+        for target in (gis_timer, fusion_timer, health_timer):
             t = threading.Thread(target=target, daemon=True)
             t.start()
             self._threads.append(t)

@@ -123,6 +123,9 @@ class _NativeLib:
             ]
             lib.shmbus_slot_size.restype = ctypes.c_uint64
             lib.shmbus_slot_size.argtypes = [ctypes.c_void_p]
+            lib.shmbus_writer_acquire.restype = ctypes.c_int
+            lib.shmbus_writer_acquire.argtypes = [ctypes.c_void_p]
+            lib.shmbus_writer_release.argtypes = [ctypes.c_void_p]
             lib.shmbus_close.argtypes = [ctypes.c_void_p]
             lib.shmbus_unlink.argtypes = [ctypes.c_char_p]
             lib.shmbus_unlink.restype = ctypes.c_int

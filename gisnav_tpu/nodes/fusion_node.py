@@ -33,6 +33,9 @@ class FusionNode(Node):
 
     def __init__(self, bus, params=None, tf=None):
         super().__init__("fusion_node", bus, params, tf)
+        # (input stamp_us, wall time) of the newest measurement — drives the
+        # fixed-rate output timer's stamp extrapolation
+        self._last_input = None
         # global filter: absolute deep pose + differential VO
         self.global_filter = PoseFusionFilter(
             {
@@ -48,6 +51,9 @@ class FusionNode(Node):
         self.subscribe(TOPIC_TWIST_POSE, self._twist_pose_cb)
 
     def _pose_cb(self, msg) -> None:
+        import time as _time
+
+        self._last_input = (int(msg["stamp_us"]), _time.monotonic())
         self._latest_global_match_stamp = msg["stamp_us"]
         self.global_filter.submit(
             "pose", msg["stamp_us"], msg["position"], msg["quat_xyzw"],
@@ -65,6 +71,9 @@ class FusionNode(Node):
                 )
 
     def _twist_pose_cb(self, msg) -> None:
+        import time as _time
+
+        self._last_input = (int(msg["stamp_us"]), _time.monotonic())
         self.global_filter.submit(
             "vo", msg["stamp_us"], msg["position"], msg["quat_xyzw"],
             msg["covariance"],
@@ -75,9 +84,27 @@ class FusionNode(Node):
         )
         self.tick(msg["stamp_us"])
 
+    def tick_now(self) -> Optional[dict]:
+        """Fixed-rate output: publish odometry at a stamp extrapolated from
+        the newest measurement by the wall time elapsed since it arrived.
+
+        Called from the app's 5 Hz fusion timer (the reference publishes its
+        filters at a fixed 5 Hz, ``launch/params/ekf_global_node.yaml:13``),
+        so mock-GPS output survives VO dropouts — e.g. the off-nadir gimbal
+        gate in TwistNode (``twist_node.py:116-118``) no longer silences GPS.
+        """
+        import time as _time
+
+        if self._last_input is None:
+            return None
+        stamp0, wall0 = self._last_input
+        stamp = stamp0 + int((_time.monotonic() - wall0) * 1e6)
+        return self.tick(stamp)
+
     def tick(self, stamp_us: int) -> Optional[dict]:
-        """Publish the current filtered odometry (reference output rate is
-        5 Hz; here it rides the VO input rate)."""
+        """Publish the current filtered odometry at ``stamp_us`` (the filter
+        predicts forward to the query time). Called per VO update and from
+        the fixed-rate timer via :meth:`tick_now`."""
         est = self.local_filter.state_at(stamp_us)
         if est is None:
             return None

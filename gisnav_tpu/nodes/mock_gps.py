@@ -49,11 +49,21 @@ class MockGPSNode(Node):
     def __init__(self, name, bus, params=None, tf=None):
         super().__init__(name, bus, params, tf)
         self._counter = 0
-        # constant offset from the DEM vertical datum to AMSL; a full EGM96
-        # grid is out of scope offline — the reference uses pyproj EPSG:5773
-        # (``_mock_gps_node.py:57-65``), we expose the local offset as config
-        self._geoid_offset_m = float(self.param("geoid_offset_m", 0.0))
+        # AMSL conversion: the embedded EGM96 geoid grid by default
+        # (matching the reference's pyproj EPSG:5773 transform,
+        # ``_mock_gps_node.py:57-65``); a constant ``geoid_offset_m`` param
+        # overrides it (e.g. to match a simulator's flat vertical datum)
+        self._geoid_offset_m = self.param("geoid_offset_m", None)
+        if self._geoid_offset_m is not None:
+            self._geoid_offset_m = float(self._geoid_offset_m)
         self.subscribe(TOPIC_ODOMETRY, self._odometry_cb)
+
+    def _undulation(self, lon: float, lat: float) -> float:
+        if self._geoid_offset_m is not None:
+            return self._geoid_offset_m
+        from gisnav_tpu.geometry.geoid import geoid_height
+
+        return geoid_height(lon, lat)
 
     def _odometry_cb(self, msg) -> None:
         fix = self.odom_to_fix(msg)
@@ -78,7 +88,7 @@ class MockGPSNode(Node):
 
         pos_ecef = (h_earth_odom @ np.append(odom["position"], 1.0))[:3]
         lon, lat, alt_ellipsoid = ecef_to_wgs84(*pos_ecef)
-        alt_amsl = alt_ellipsoid - self._geoid_offset_m
+        alt_amsl = alt_ellipsoid - self._undulation(lon, lat)
 
         cov = np.asarray(odom["pose_covariance"])
         eph = float(np.sqrt(cov[0, 0] + cov[1, 1]))

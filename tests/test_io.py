@@ -109,3 +109,40 @@ class TestUORB:
         assert np.isclose(msg["heading"], np.radians(45.0))
         assert msg["timestamp"] == 0  # let the consumer stamp it
         assert msg["timestamp_sample"] == FIX["timestamp"]
+
+
+class TestNMEAGoldenBlock:
+    def test_full_block_byte_exact(self):
+        """Byte-level golden of the complete per-fix sentence block.
+
+        Field layout mirrors the reference's NMEANode renderers
+        (``extensions/nmea_node.py:107-504``): GGA + VTG + GSA + HDT + GST +
+        RMC + 12x GSV + ZDA, NMEA checksums per sentence. Any formatting
+        drift (coordinate minutes, date fields, checksum casing) breaks the
+        PX4 nmea.cpp consumer, so the block is frozen byte-for-byte.
+        """
+        expected = [
+            "$GPGGA,221320.000,6007.4074,N,2439.2593,E,1,12,0.00,103.2,M,"
+            "0.0,M,,*68",
+            "$GPVTG,53.1,T,,M,9.7,N,,K*77",
+            "$GPGSA,A,3,00,01,02,03,04,05,06,07,08,09,10,11,"
+            "0.00,0.00,0.00*02",
+            "$GPHDT,45.0,T*04",
+            "$GPGST,221320.000,3.61,2.00,2.00,0.0,1.41,1.41,9.00*6A",
+            "$GPRMC,221320.000,A,6007.4074,N,2439.2593,E,9.7,53.1,231114,"
+            "0.0,E*62",
+            "$GPGSV,12,1,12,01,85,000,99*74",
+            "$GPGSV,12,2,12,02,85,030,99*77",
+            "$GPGSV,12,3,12,03,85,060,99*72",
+            "$GPGSV,12,4,12,04,85,090,99*7D",
+            "$GPGSV,12,5,12,05,85,120,99*77",
+            "$GPGSV,12,6,12,06,85,150,99*70",
+            "$GPGSV,12,7,12,07,85,180,99*7D",
+            "$GPGSV,12,8,12,08,85,210,99*77",
+            "$GPGSV,12,9,12,09,85,240,99*72",
+            "$GPGSV,12,10,12,10,85,270,99*41",
+            "$GPGSV,12,11,12,11,85,300,99*47",
+            "$GPGSV,12,12,12,12,85,330,99*44",
+            "$GPZDA,221320,14,11,2023,0,0*4E",
+        ]
+        assert sentences_for_fix(**FIX) == expected
