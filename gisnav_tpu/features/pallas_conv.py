@@ -377,22 +377,22 @@ def _conv_stage_fwd(x, w1, b1, w2, b2, pool):
 def _conv_stage_bwd(pool, residuals, g):
     x, w1, b1, w2, b2 = residuals
     if w2 is None:
-        _, vjp = jax.vjp(
+        out, vjp = jax.vjp(
             lambda xx, a1, c1: vgg_stage_reference(
                 xx, a1.astype(jnp.bfloat16), c1, pool=pool
             ),
             x, w1, b1,
         )
-        dx, dw1, db1 = vjp(g.astype(jnp.float32))
+        dx, dw1, db1 = vjp(g.astype(out.dtype))
         return dx, dw1, db1, None, None
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda xx, a1, c1, a2, c2: vgg_stage_reference(
             xx, a1.astype(jnp.bfloat16), c1, a2.astype(jnp.bfloat16), c2,
             pool=pool,
         ),
         x, w1, b1, w2, b2,
     )
-    return vjp(g.astype(jnp.float32))
+    return vjp(g.astype(out.dtype))
 
 
 conv_stage.defvjp(_conv_stage_fwd, _conv_stage_bwd)
