@@ -55,6 +55,47 @@ def select_keypoints(
     :return: (keypoints (K, 2) float32 xy, scores (K,), valid (K,) bool)
     """
     h, w = heatmap.shape
+
+    use_pallas = False
+    if jax.default_backend() not in ("cpu",):
+        import os
+
+        from gisnav_tpu.features.pallas_nms import (
+            nms_cellmax_pallas,
+            nms_cellmax_supported,
+        )
+
+        use_pallas = not os.environ.get(
+            "GISNAV_TPU_FORCE_XLA_NMS"
+        ) and nms_cellmax_supported(h, w, nms_radius, block, border) and (
+            (h // block) * (w // block) >= max_keypoints
+        )
+
+    if use_pallas:
+        # fused single-pass kernel; the NMS survivor of a cell is also the
+        # cell's raw-heatmap argmax (its 9x9 window covers the 4x4 cell),
+        # so per-cell positions come from a post-top-k gather
+        hb, wb = h // block, w // block
+        cell_max = nms_cellmax_pallas(heatmap, border)  # (hb, wb)
+        scores, cell_idx = _top_k(cell_max.reshape(-1), max_keypoints)
+        cy0 = (cell_idx // wb) * block
+        cx0 = (cell_idx % wb) * block
+        dy = jnp.arange(block, dtype=jnp.int32)
+        dx = jnp.arange(block, dtype=jnp.int32)
+        patch = heatmap[
+            cy0[:, None, None] + dy[None, :, None],
+            cx0[:, None, None] + dx[None, None, :],
+        ].reshape(-1, block * block)
+        inner = jnp.argmax(patch, axis=1).astype(jnp.int32)
+        by = cy0 + inner // block
+        bx = cx0 + inner % block
+        keypoints = jnp.stack(
+            [bx.astype(jnp.float32), by.astype(jnp.float32)], axis=1
+        )
+        valid = scores > score_threshold
+        keypoints = refine_subpixel(heatmap, keypoints)
+        return keypoints, scores, valid
+
     nms = simple_nms(heatmap, nms_radius)
     # suppress image border detections
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)

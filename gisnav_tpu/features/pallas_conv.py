@@ -33,6 +33,7 @@ CPU/CUDA); see features/superpoint.py for the model that calls this.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -44,6 +45,9 @@ __all__ = [
     "conv_stage",
     "conv_stage_pallas",
     "pallas_conv_supported",
+    "stem_stage",
+    "stem_stage_pallas",
+    "stem_supported",
     "vgg_stage_reference",
 ]
 
@@ -143,14 +147,16 @@ def _schedule(w: jnp.ndarray, pack: int):
 
 
 def _conv_taps(shifted, keys, w_ref, w_base: int, l_in: int, l_out: int,
-               tcs: int, m_out: int):
-    """acc = sum over (dy, u) of dot(shifted[u][(1+dy)*tcs : +m_out], W).
+               tcs: int, m_out: int, base: int = 1):
+    """acc = sum over (dy, u) of dot(shifted[u][(base+dy)*tcs : +m_out], W).
 
     ``shifted[u]`` are the three dx-shift buffers; the dy slice offsets are
-    multiples of tcs (aligned, free)."""
+    multiples of tcs (aligned, free). ``base`` is the row offset of output
+    row 0 within the shifted buffers (1 for a buffer with a 1-row halo,
+    2 for the stem kernel's 2-row-halo intermediate)."""
     acc = jnp.zeros((m_out, l_out), jnp.float32)
     for j, (dy, u) in enumerate(keys):
-        start = (1 + dy) * tcs
+        start = (base + dy) * tcs
         acc = acc + jax.lax.dot_general(
             shifted[u][start:start + m_out, :],
             w_ref[w_base + j * l_in:w_base + (j + 1) * l_in, :],
@@ -311,6 +317,266 @@ def conv_stage_pallas(
     return img
 
 
+# ---------------------------------------------------------------------------
+# Fused stem: conv1a (1 -> 64) + conv1b (64 -> 64) in one kernel
+# ---------------------------------------------------------------------------
+#
+# The 1-channel stem conv is a disaster for XLA's conv emitter next to the
+# Pallas stages (measured round 2: 9.9 ms for the conv + 3.8 ms of layout
+# copies at 1080p — the C=1 NHWC layout uses 1/128 lanes). Instead, the host
+# builds a tiny im2col tensor P once per frame: for every (row, pixel-pair)
+# the 3x4 = 12 raw pixels covering both pixels' 3x3 neighborhoods, padded to
+# 16 lanes. conv1a then becomes ONE (m, 16) @ (16, 128) MXU matmul inside
+# the stage-1 kernel, producing the packed pair-channel intermediate
+# directly — the (H, W, 64) stem activation never exists in HBM.
+
+
+def _stem_geometry(h: int, w: int) -> Optional[Tuple[int, int, int]]:
+    """(tr, lp, wq_tot) for the fused stem; full-width tiles only (the
+    im2col slab is DMA'd as a lane slice of the (16, m_total) flat P, so
+    wq_tot is 32-aligned to keep every tile's lane offset/extent a
+    multiple of 128)."""
+    if h % 8 or w % 2:
+        return None
+    lp = 4
+    wv = w // 2
+    wq_tot = _align(lp + wv + lp, 32)
+    tcs = wq_tot
+    budget = 44 * 1024 * 1024
+    for tr in (32, 16, 8):
+        m_in = (tr + 4) * tcs
+        m_out = tr * tcs
+        vmem = (
+            m_in * 16 * 2  # P slab (taps in sublanes)
+            + m_in * 128 * (4 + 2)  # h1 f32 acc + bf16
+            + 3 * m_in * 128 * 2  # dx-shift buffers
+            + m_in * 128 * 4  # f32 roll transient
+            + m_out * 128 * 4  # conv1b f32 accumulator
+            + 2 * tr * wv * 128 * 2  # double-buffered out
+        )
+        if h % tr == 0 and vmem <= budget:
+            return tr, lp, wq_tot
+    return None
+
+
+def stem_supported(h: int, w: int) -> bool:
+    return _stem_geometry(h, w) is not None
+
+
+def _stem_im2col(img: jnp.ndarray, lp: int, wq_tot: int,
+                 compute_dtype) -> jnp.ndarray:
+    """Transposed (12->16)-tap patch tensor: P[(dy+1)*4 + d, r*wq_tot + q]
+    = img(r - 2 + dy, 2*(q - lp) + d - 1), zero outside the image. Taps
+    live in sublanes so tile DMAs are plain 128-aligned lane slices."""
+    h, w = img.shape
+    imgp = jnp.zeros((h + 6, 2 * wq_tot + 2), compute_dtype)
+    imgp = imgp.at[3:h + 3, 2 * lp + 1:2 * lp + 1 + w].set(
+        img.astype(compute_dtype)
+    )
+    taps = []
+    for dy in (-1, 0, 1):
+        rows = imgp[1 + dy:1 + dy + h + 4]
+        for d in range(4):
+            taps.append(rows[:, d::2][:, :wq_tot].reshape(-1))
+    p = jnp.stack(taps, axis=0)  # (12, (h + 4) * wq_tot)
+    return jnp.pad(p, ((0, 4), (0, 0)))
+
+
+def _stem_wa(w1a: jnp.ndarray) -> jnp.ndarray:
+    """(16, 128) conv1a tap matrix: row (dy+1)*4 + d, col e*64 + c holds
+    w1a[dy+1, dx+1, 0, c] for dx = d - 1 - e (zero where out of range)."""
+    cout = w1a.shape[3]
+    wa = jnp.zeros((16, 2 * cout), jnp.float32)
+    for dy in range(3):
+        for d in range(4):
+            for e in range(2):
+                dx = d - 1 - e
+                if 0 <= dx + 1 < 3:
+                    wa = wa.at[dy * 4 + d, e * cout:(e + 1) * cout].set(
+                        w1a[dy, dx + 1, 0, :].astype(jnp.float32)
+                    )
+    return wa
+
+
+def stem_stage_pallas(
+    img: jnp.ndarray,
+    w1a: jnp.ndarray,
+    b1a: jnp.ndarray,
+    w1b: jnp.ndarray,
+    b1b: jnp.ndarray,
+    *,
+    pool: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """conv3x3(1->64)+relu -> conv3x3(64->64)+relu [-> maxpool2x2].
+
+    :param img: (H, W) grayscale image
+    :param w1a: (3, 3, 1, 64) HWIO; w1b: (3, 3, 64, 64)
+    :return: (H[/2], W[/2], 64)
+    """
+    h, w = img.shape
+    cmid = w1a.shape[3]
+    cout = w1b.shape[3]
+    geo = _stem_geometry(h, w)
+    assert geo is not None, (h, w)
+    tr, lp, wq_tot = geo
+    tcs = wq_tot
+    wv = w // 2
+    l_mid, l_out = 2 * cmid, 2 * cout
+
+    pf = _stem_im2col(img, lp, wq_tot, compute_dtype)
+    wa = _stem_wa(jnp.asarray(w1a)).astype(compute_dtype)
+    ba = jnp.tile(b1a.astype(jnp.float32), 2).reshape(1, l_mid)
+    sched = _schedule(jnp.asarray(w1b), 2)
+    keys = tuple(k for k, _ in sched)
+    wb = jnp.concatenate([m for _, m in sched], axis=0).astype(compute_dtype)
+    bb = jnp.tile(b1b.astype(jnp.float32), 2).reshape(1, l_out)
+
+    m_in = (tr + 4) * tcs
+    m_out = tr * tcs
+
+    def kernel(p_ref, wa_ref, ba_ref, wb_ref, bb_ref, out_ref, slab, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            p_ref.at[:, pl.ds(i * tr * tcs, m_in)], slab, sem,
+        )
+        cp.start()
+        cp.wait()
+        # virtual conv1a: one MXU matmul from raw-pixel taps (contraction
+        # over the 16 tap sublanes of the transposed slab)
+        acc = jax.lax.dot_general(
+            slab[...], wa_ref[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h1 = jnp.maximum(acc + ba_ref[...], 0.0)
+        # cascaded SAME: zero conv1a output outside the image so conv1b
+        # sees SAME-padding zeros (slab row q is padded image row
+        # i*tr + q // tcs, i.e. image row i*tr + q // tcs - 2)
+        q = jax.lax.broadcasted_iota(jnp.int32, (m_in, l_mid), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (m_in, l_mid), 1)
+        gx = 2 * (q % tcs - lp) + lane // cmid
+        gy = i * tr + q // tcs - 2
+        valid = (gx >= 0) & (gx < w) & (gy >= 0) & (gy < h)
+        h1 = jnp.where(valid, h1, 0.0).astype(compute_dtype)
+        s = _dx_shifts(h1, compute_dtype)
+        acc2 = _conv_taps(s, keys, wb_ref, 0, l_mid, l_out, tcs, m_out,
+                          base=2)
+        y = jnp.maximum(acc2 + bb_ref[...], 0.0)
+        if pool:
+            # 2x2 maxpool fused: x-pairs are the two 64-lane phase blocks;
+            # y-pairs are adjacent tcs-row blocks of the flat layout
+            # (unrolled — Mosaic has no strided 3D slicing)
+            yx = jnp.maximum(y[:, :cout], y[:, cout:])  # (m_out, cout)
+            for kk in range(tr // 2):
+                row = jnp.maximum(
+                    yx[(2 * kk) * tcs:(2 * kk + 1) * tcs, :],
+                    yx[(2 * kk + 1) * tcs:(2 * kk + 2) * tcs, :],
+                )
+                out_ref[kk, :, :] = row[lp:lp + wv, :].astype(compute_dtype)
+        else:
+            out_ref[...] = (
+                y.reshape(tr, tcs, l_out)[:, lp:lp + wv, :]
+                .astype(compute_dtype)
+            )
+
+    if pool:
+        out_spec = pl.BlockSpec(
+            (tr // 2, wv, cout), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((h // 2, wv, cout), compute_dtype)
+    else:
+        out_spec = pl.BlockSpec(
+            (tr, wv, l_out), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((h, wv, l_out), compute_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(h // tr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # P stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((16, m_in), compute_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w * cmid * (16 + 9 * cout),
+            bytes_accessed=(h + 4) * wq_tot * 16 * 2 + h * wv * l_out * 2,
+            transcendentals=0,
+        ),
+    )(pf, wa, ba, wb, bb)
+
+    if pool:
+        return out  # (h/2, w/2, cout) — wv == w/2
+    return out.reshape(h, w, cout)
+
+
+def stem_reference(img, w1a, b1a, w1b, b1b, *, pool: bool):
+    """XLA reference for the fused stem (conv1a + conv1b [+ pool])."""
+    return vgg_stage_reference(
+        img[..., None].astype(jnp.bfloat16),
+        w1a.astype(jnp.bfloat16), b1a,
+        w1b.astype(jnp.bfloat16), b1b,
+        pool=pool,
+    )
+
+
+def _stem_route(img, w1a, b1a, w1b, b1b, pool):
+    import os
+
+    h, w = img.shape
+    if (
+        jax.default_backend() not in ("cpu",)
+        and not os.environ.get("GISNAV_TPU_FORCE_XLA_CONV")
+        and w1a.shape[3] == 64 and w1b.shape[3] == 64
+        and stem_supported(h, w)
+    ):
+        return stem_stage_pallas(img, w1a, b1a, w1b, b1b, pool=pool)
+    return stem_reference(img, w1a, b1a, w1b, b1b, pool=pool)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def stem_stage(img, w1a, b1a, w1b, b1b, pool=True):
+    """Fused SuperPoint stem for one (H, W) grayscale image.
+
+    Forward runs the Mosaic kernel on TPU (XLA reference elsewhere or for
+    unsupported shapes); backward recomputes through the XLA reference."""
+    return _stem_route(img, w1a, b1a, w1b, b1b, pool)
+
+
+def _stem_fwd(img, w1a, b1a, w1b, b1b, pool):
+    return _stem_route(img, w1a, b1a, w1b, b1b, pool), (
+        img, w1a, b1a, w1b, b1b,
+    )
+
+
+def _stem_bwd(pool, residuals, g):
+    img, w1a, b1a, w1b, b1b = residuals
+    out, vjp = jax.vjp(
+        lambda im, a1, c1, a2, c2: stem_reference(
+            im, a1, c1, a2, c2, pool=pool
+        ),
+        img, w1a, b1a, w1b, b1b,
+    )
+    return vjp(g.astype(out.dtype))
+
+
+stem_stage.defvjp(_stem_fwd, _stem_bwd)
+
+
 def vgg_stage_reference(x, w1, b1, w2=None, b2=None, *, pool: bool):
     """XLA reference implementation for parity tests: (H, W, Cin) -> image."""
     def conv(v, wk, bk):
@@ -334,8 +600,6 @@ def vgg_stage_reference(x, w1, b1, w2=None, b2=None, *, pool: bool):
 # ---------------------------------------------------------------------------
 # Autodiff-safe routing entry point
 # ---------------------------------------------------------------------------
-
-import functools
 
 
 def _route(x, w1, b1, w2, b2, pool):

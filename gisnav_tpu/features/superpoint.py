@@ -98,7 +98,7 @@ class SuperPoint(nn.Module):
             image, batched = image[None, :, :, 0], False
         b, h, w = image.shape
         dt = self.compute_dtype
-        from gisnav_tpu.features.pallas_conv import conv_stage
+        from gisnav_tpu.features.pallas_conv import conv_stage, stem_stage
 
         # parameter registration (nn.Conv-compatible tree, explicit compute)
         k1a, b1a = _ConvParams(64, name="conv1a")(1)
@@ -110,12 +110,12 @@ class SuperPoint(nn.Module):
         k4a, b4a = _ConvParams(128, name="conv4a")(128)
         k4b, b4b = _ConvParams(128, name="conv4b")(128)
 
-        # stem: 1->64 at full res is tiny FLOPs, XLA handles it at HBM speed
-        x = _conv_relu_xla(image[..., None], k1a, b1a, dt)
-
-        def trunk(v):
-            # fused VGG stages: Pallas on TPU (pallas_conv.py), XLA elsewhere
-            v = conv_stage(v, k1b, b1b, pool=True)
+        def trunk(img):
+            # fused VGG stages: Pallas on TPU (pallas_conv.py), XLA
+            # elsewhere. The 1->64 stem is folded into the stage-1 kernel
+            # via an im2col matmul (a standalone XLA stem conv costs
+            # ~13.7 ms at 1080p in layout copies + a 1-lane conv emitter).
+            v = stem_stage(img, k1a, b1a, k1b, b1b, pool=True)
             v = conv_stage(v, k2a, b2a, k2b, b2b, pool=True)
             v = conv_stage(v, k3a, b3a, k3b, b3b, pool=True)
             v = conv_stage(v, k4a, b4a, k4b, b4b, pool=False)
@@ -123,7 +123,7 @@ class SuperPoint(nn.Module):
 
         # batch is 1-2 images in every pipeline mode: unrolled loop keeps the
         # Pallas kernels un-vmapped (single-image grids)
-        x = jnp.stack([trunk(x[i]) for i in range(b)])
+        x = jnp.stack([trunk(image[i]) for i in range(b)])
 
         hc, wc = h // 8, w // 8
         if self.detector_mode == "harris":

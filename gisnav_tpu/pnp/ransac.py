@@ -44,12 +44,36 @@ def project_points(pts3d: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray,
     return pc[:, :2] / jnp.maximum(pc[:, 2:3], 1e-9)
 
 
+def _inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse via the adjugate (no LAPACK custom call)."""
+    c0 = jnp.cross(m[:, 1], m[:, 2])
+    c1 = jnp.cross(m[:, 2], m[:, 0])
+    c2 = jnp.cross(m[:, 0], m[:, 1])
+    det = jnp.dot(m[:, 0], c0)
+    adj = jnp.stack([c0, c1, c2], axis=0)
+    return adj / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+
+
 def _orthonormalize(m: jnp.ndarray) -> jnp.ndarray:
-    """Project a 3x3 matrix onto SO(3) via SVD."""
-    u, _, vt = jnp.linalg.svd(m)
-    d = jnp.sign(jnp.linalg.det(u @ vt))
-    u = u.at[:, 2].multiply(d)
-    return u @ vt
+    """Project a 3x3 matrix onto SO(3): scaled Newton iteration for the
+    polar factor (pure matmuls — the SVD this replaces lowers to a LAPACK
+    eigh custom call that cost >1 ms vmapped over RANSAC hypotheses).
+
+    Inputs here are near-rotations by construction (r3 = r1 x r2, det > 0),
+    where the polar Newton iteration converges quadratically; degenerate
+    hypotheses yield garbage that scores zero inliers, as before.
+    """
+    def body(x, _):
+        xit = _inv3(x).T
+        # Frobenius scaling keeps convergence fast when ||x|| is off-scale
+        g = jnp.sqrt(
+            jnp.maximum(jnp.linalg.norm(xit), 1e-12)
+            / jnp.maximum(jnp.linalg.norm(x), 1e-12)
+        )
+        return 0.5 * (g * x + xit / g), None
+
+    x, _ = jax.lax.scan(body, m, None, length=4)
+    return x
 
 
 def _homography_4pt(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:

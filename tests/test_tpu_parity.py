@@ -1,0 +1,248 @@
+"""TPU-backend parity tests for the Pallas kernels.
+
+Run with ``GISNAV_TPU_PARITY=1 python -m pytest tests/test_tpu_parity.py``
+on a machine with a TPU: the conftest then leaves the platform alone
+instead of forcing the 8-device virtual CPU, and every other module skips.
+
+Every hot-path Mosaic kernel is compared against the XLA reference
+implementation it replaces ON THE TPU BACKEND — the regular (CPU) suite
+never executes the Pallas paths, so a miscompiled kernel would otherwise
+only surface as silently-wrong production output (round-1 verdict,
+"Pallas kernels have zero test coverage on TPU").
+"""
+import os
+
+import numpy as np
+import pytest
+
+if not os.environ.get("GISNAV_TPU_PARITY"):
+    pytest.skip(
+        "TPU parity suite: set GISNAV_TPU_PARITY=1 on a TPU host",
+        allow_module_level=True,
+    )
+
+import jax
+import jax.numpy as jnp
+
+if jax.devices()[0].platform == "cpu":
+    pytest.skip("no TPU backend available", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def nprng():
+    return np.random.default_rng(7)
+
+
+class TestConvStages:
+    def test_stem_stage(self, nprng):
+        from gisnav_tpu.features.pallas_conv import (
+            stem_reference,
+            stem_stage_pallas,
+            stem_supported,
+        )
+
+        for (h, w) in [(64, 96), (256, 320), (1088, 1920)]:
+            img = jnp.asarray(nprng.uniform(0, 1, (h, w)).astype(np.float32))
+            w1a = jnp.asarray(
+                nprng.normal(0, 0.5, (3, 3, 1, 64)).astype(np.float32))
+            b1a = jnp.asarray(nprng.normal(0, 0.1, (64,)).astype(np.float32))
+            w1b = jnp.asarray(
+                nprng.normal(0, 0.15, (3, 3, 64, 64)).astype(np.float32))
+            b1b = jnp.asarray(nprng.normal(0, 0.1, (64,)).astype(np.float32))
+            assert stem_supported(h, w)
+            for pool in (True, False):
+                got = np.asarray(jax.jit(
+                    lambda *t: stem_stage_pallas(*t, pool=pool)
+                )(img, w1a, b1a, w1b, b1b), np.float32)
+                ref = np.asarray(jax.jit(
+                    lambda *t: stem_reference(*t, pool=pool)
+                )(img, w1a, b1a, w1b, b1b), np.float32)
+                scale = max(1.0, np.abs(ref).max())
+                assert np.abs(got - ref).max() / scale < 0.03
+
+    @pytest.mark.parametrize(
+        "h,w,cin,cmid,cout,pool",
+        [
+            (544, 960, 64, 64, 64, True),   # stage 2 @ 1080p
+            (272, 480, 64, 128, 128, True),  # stage 3
+            (136, 240, 128, 128, 128, False),  # stage 4
+            (136, 240, 128, 256, None, False),  # detector/descriptor head
+        ],
+    )
+    def test_conv_stage(self, nprng, h, w, cin, cmid, cout, pool):
+        from gisnav_tpu.features.pallas_conv import (
+            conv_stage_pallas,
+            pallas_conv_supported,
+            vgg_stage_reference,
+        )
+
+        x = jnp.asarray(nprng.uniform(-1, 1, (h, w, cin)).astype(np.float32))
+        w1 = jnp.asarray(
+            nprng.normal(0, 0.1, (3, 3, cin, cmid)).astype(np.float32))
+        b1 = jnp.asarray(nprng.normal(0, 0.1, (cmid,)).astype(np.float32))
+        assert pallas_conv_supported(h, w, cin, cmid, cout or cmid,
+                                     cout is not None)
+        if cout is not None:
+            w2 = jnp.asarray(
+                nprng.normal(0, 0.1, (3, 3, cmid, cout)).astype(np.float32))
+            b2 = jnp.asarray(nprng.normal(0, 0.1, (cout,)).astype(np.float32))
+            got = jax.jit(lambda *t: conv_stage_pallas(*t, pool=pool))(
+                x, w1, b1, w2, b2)
+            ref = jax.jit(lambda *t: vgg_stage_reference(
+                t[0], t[1].astype(jnp.bfloat16), t[2],
+                t[3].astype(jnp.bfloat16), t[4], pool=pool))(
+                x, w1, b1, w2, b2)
+        else:
+            got = jax.jit(lambda *t: conv_stage_pallas(*t, pool=pool))(
+                x, w1, b1)
+            ref = jax.jit(lambda *t: vgg_stage_reference(
+                t[0], t[1].astype(jnp.bfloat16), t[2], pool=pool))(
+                x, w1, b1)
+        got = np.asarray(got, np.float32)
+        ref = np.asarray(ref, np.float32)
+        scale = max(1.0, np.abs(ref).max())
+        assert np.abs(got - ref).max() / scale < 0.03
+
+
+class TestNMS:
+    def test_cellmax_bit_exact(self, nprng):
+        from gisnav_tpu.features.nms import simple_nms
+        from gisnav_tpu.features.pallas_nms import (
+            nms_cellmax_pallas,
+            nms_cellmax_supported,
+        )
+
+        h, w = 1088, 1920
+        assert nms_cellmax_supported(h, w, 4, 4, 4)
+        hm = nprng.uniform(0, 0.001, (h, w)).astype(np.float32)
+        ny = nprng.integers(5, h - 5, 3000)
+        nx = nprng.integers(5, w - 5, 3000)
+        hm[ny, nx] = nprng.uniform(0.01, 1.0, 3000).astype(np.float32)
+        hmj = jnp.asarray(hm)
+
+        got = np.asarray(jax.jit(
+            lambda x: nms_cellmax_pallas(x, 4))(hmj))
+
+        def xla_cells(x):
+            n = simple_nms(x, 4)
+            ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            inb = (xs >= 4) & (xs < w - 4) & (ys >= 4) & (ys < h - 4)
+            n = jnp.where(inb, n, 0.0)
+            return n.reshape(h // 4, 4, w // 4, 4).max(axis=(1, 3))
+
+        ref = np.asarray(jax.jit(xla_cells)(hmj))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_select_keypoints_routes_match(self, nprng):
+        from gisnav_tpu.features.nms import select_keypoints
+
+        h, w, k = 1088, 1920, 1024
+        hm = nprng.uniform(0, 0.001, (h, w)).astype(np.float32)
+        ny = nprng.integers(5, h - 5, 3000)
+        nx = nprng.integers(5, w - 5, 3000)
+        hm[ny, nx] = nprng.uniform(0.01, 1.0, 3000).astype(np.float32)
+        hmj = jnp.asarray(hm)
+
+        kp_p, sc_p, v_p = map(np.asarray, jax.jit(
+            lambda x: select_keypoints(x, k, 0.0005, 4, 4))(hmj))
+        os.environ["GISNAV_TPU_FORCE_XLA_NMS"] = "1"
+        try:
+            kp_x, sc_x, v_x = map(np.asarray, jax.jit(
+                lambda x: select_keypoints(x, k, 0.0005, 4, 4))(hmj))
+        finally:
+            del os.environ["GISNAV_TPU_FORCE_XLA_NMS"]
+        assert v_p.sum() == v_x.sum()
+        sp = set(map(tuple, np.round(kp_p[v_p]).astype(int)))
+        sx = set(map(tuple, np.round(kp_x[v_x]).astype(int)))
+        assert sp == sx
+        np.testing.assert_allclose(
+            np.sort(sc_p[v_p]), np.sort(sc_x[v_x]), atol=1e-7)
+
+
+class TestAttention:
+    def test_masked_attention(self, nprng):
+        from gisnav_tpu.matching.pallas_attention import (
+            masked_attention_pallas,
+            pallas_attention_supported,
+        )
+
+        kq, kk, h, dh = 2048, 4096, 4, 64
+        assert pallas_attention_supported(kq, kk, dh)
+        q = jnp.asarray(nprng.normal(0, 1, (kq, h, dh)).astype(np.float32))
+        k = jnp.asarray(nprng.normal(0, 1, (kk, h, dh)).astype(np.float32))
+        v = jnp.asarray(nprng.normal(0, 1, (kk, h, dh)).astype(np.float32))
+        mask = jnp.asarray(nprng.uniform(0, 1, (kk,)) > 0.3)
+
+        got = np.asarray(jax.jit(masked_attention_pallas)(q, k, v, mask))
+
+        def einsum_ref(q, k, v, mask_k):
+            logits = jnp.einsum(
+                "qhd,khd->hqk", q.astype(jnp.bfloat16),
+                k.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(jnp.float32(dh))
+            logits = jnp.where(mask_k[None, None, :], logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum(
+                "hqk,khd->qhd", attn.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+
+        ref = np.asarray(jax.jit(einsum_ref)(q, k, v, mask))
+        # bf16 compute both sides; tolerance covers accumulation-order drift
+        assert np.abs(got - ref).max() < 0.05
+        assert np.abs(got - ref).mean() < 0.005
+
+
+class TestShear:
+    def test_rotate_crop_pallas_vs_gather(self, nprng):
+        from gisnav_tpu.raster.shear import rotate_and_crop_center_shear
+
+        stack = jnp.asarray(
+            nprng.uniform(0, 1, (1024, 1024, 2)).astype(np.float32))
+        for angle in (17.0, -63.0, 122.5):
+            got, m_g = jax.jit(
+                lambda s, a: rotate_and_crop_center_shear(
+                    s, a, (512, 640), use_pallas=True),
+            )(stack, jnp.float32(angle))
+            ref, m_r = jax.jit(
+                lambda s, a: rotate_and_crop_center_shear(
+                    s, a, (512, 640), use_pallas=False),
+            )(stack, jnp.float32(angle))
+            np.testing.assert_allclose(
+                np.asarray(m_g), np.asarray(m_r), atol=1e-5)
+            d = np.abs(np.asarray(got) - np.asarray(ref))
+            # interior only: border taps differ in zero-pad handling order
+            assert d[8:-8, 8:-8].max() < 1e-3
+
+
+class TestEndToEnd:
+    def test_superpoint_pallas_vs_xla_backend(self, nprng):
+        """Whole detector: Pallas kernels vs XLA lowering, same backend."""
+        from gisnav_tpu.features.superpoint import SuperPoint
+
+        h, w = 512, 640
+        model = SuperPoint(max_keypoints=512)
+        img = jnp.asarray(
+            nprng.uniform(0, 1, (h, w)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), img)
+
+        got = jax.jit(lambda p, v: model.apply(p, v))(params, img)
+        os.environ["GISNAV_TPU_FORCE_XLA_CONV"] = "1"
+        os.environ["GISNAV_TPU_FORCE_XLA_NMS"] = "1"
+        try:
+            ref = jax.jit(lambda p, v: model.apply(p, v))(params, img)
+        finally:
+            del os.environ["GISNAV_TPU_FORCE_XLA_CONV"]
+            del os.environ["GISNAV_TPU_FORCE_XLA_NMS"]
+
+        got_kp = np.asarray(got.keypoints)[np.asarray(got.mask)]
+        ref_kp = np.asarray(ref.keypoints)[np.asarray(ref.mask)]
+        # bf16 conv drift moves scores slightly: demand heavy overlap, not
+        # bit-equality
+        gs = set(map(tuple, np.round(got_kp).astype(int)))
+        rs = set(map(tuple, np.round(ref_kp).astype(int)))
+        inter = len(gs & rs)
+        assert inter >= 0.85 * max(len(gs), len(rs), 1)
