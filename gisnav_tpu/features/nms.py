@@ -42,6 +42,7 @@ def select_keypoints(
     border: int = 4,
     nms_radius: int = 4,
     block: int = 4,
+    prefer_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS + top-K keypoint selection with static output shapes.
 
@@ -57,7 +58,7 @@ def select_keypoints(
     h, w = heatmap.shape
 
     use_pallas = False
-    if jax.default_backend() not in ("cpu",):
+    if prefer_pallas and jax.default_backend() not in ("cpu",):
         import os
 
         from gisnav_tpu.features.pallas_nms import (

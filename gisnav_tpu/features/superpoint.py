@@ -82,6 +82,12 @@ class SuperPoint(nn.Module):
     descriptor_dim: int = 256
     compute_dtype: jnp.dtype = jnp.bfloat16
     detector_mode: str = "learned"  # "learned" (SuperPoint head) | "harris"
+    conv_backend: str = "auto"  # "auto" (Pallas on TPU, per-image) |
+    # "xla_batched": natively batched XLA convs for the whole trunk. Used by
+    # training: the per-image Pallas trunk would be traced once per batch
+    # element (compile-time explosion under scan+vjp) and Mosaic rejects
+    # vmapped ANY-memory-space blocks; one batched conv also drives the MXU
+    # far better at small training shapes than B sequential kernels.
     # "harris": parameter-free device Harris response replaces the learned
     # detector head, so the descriptor/matcher stack trains in-framework with
     # repeatable keypoints and no external detector checkpoint (the score
@@ -110,20 +116,37 @@ class SuperPoint(nn.Module):
         k4a, b4a = _ConvParams(128, name="conv4a")(128)
         k4b, b4b = _ConvParams(128, name="conv4b")(128)
 
-        def trunk(img):
-            # fused VGG stages: Pallas on TPU (pallas_conv.py), XLA
-            # elsewhere. The 1->64 stem is folded into the stage-1 kernel
-            # via an im2col matmul (a standalone XLA stem conv costs
-            # ~13.7 ms at 1080p in layout copies + a 1-lane conv emitter).
-            v = stem_stage(img, k1a, b1a, k1b, b1b, pool=True)
-            v = conv_stage(v, k2a, b2a, k2b, b2b, pool=True)
-            v = conv_stage(v, k3a, b3a, k3b, b3b, pool=True)
-            v = conv_stage(v, k4a, b4a, k4b, b4b, pool=False)
-            return v
+        if self.conv_backend == "xla_batched":
+            def bpool(v):
+                bb, hh, ww, c = v.shape
+                return v.reshape(bb, hh // 2, 2, ww // 2, 2, c).max(
+                    axis=(2, 4))
 
-        # batch is 1-2 images in every pipeline mode: unrolled loop keeps the
-        # Pallas kernels un-vmapped (single-image grids)
-        x = jnp.stack([trunk(image[i]) for i in range(b)])
+            x = image[..., None]
+            x = _conv_relu_xla(x, k1a, b1a, dt)
+            x = bpool(_conv_relu_xla(x, k1b, b1b, dt))
+            x = _conv_relu_xla(x, k2a, b2a, dt)
+            x = bpool(_conv_relu_xla(x, k2b, b2b, dt))
+            x = _conv_relu_xla(x, k3a, b3a, dt)
+            x = bpool(_conv_relu_xla(x, k3b, b3b, dt))
+            x = _conv_relu_xla(x, k4a, b4a, dt)
+            x = _conv_relu_xla(x, k4b, b4b, dt)
+        else:
+            def trunk(img):
+                # fused VGG stages: Pallas on TPU (pallas_conv.py), XLA
+                # elsewhere. The 1->64 stem is folded into the stage-1
+                # kernel via an im2col matmul (a standalone XLA stem conv
+                # costs ~13.7 ms at 1080p in layout copies + a 1-lane conv
+                # emitter).
+                v = stem_stage(img, k1a, b1a, k1b, b1b, pool=True)
+                v = conv_stage(v, k2a, b2a, k2b, b2b, pool=True)
+                v = conv_stage(v, k3a, b3a, k3b, b3b, pool=True)
+                v = conv_stage(v, k4a, b4a, k4b, b4b, pool=False)
+                return v
+
+            # batch is 1-2 images in every pipeline mode: unrolled loop
+            # keeps the Pallas kernels un-vmapped (single-image grids)
+            x = jnp.stack([trunk(image[i]) for i in range(b)])
 
         hc, wc = h // 8, w // 8
         if self.detector_mode == "harris":
@@ -135,7 +158,11 @@ class SuperPoint(nn.Module):
             # 1x1 is a plain matmul)
             kpa, bpa = _ConvParams(256, name="convPa")(128)
             kpb, bpb = _ConvParams(65, kernel_hw=(1, 1), name="convPb")(256)
-            cpa = jnp.stack([conv_stage(x[i], kpa, bpa) for i in range(b)])
+            if self.conv_backend == "xla_batched":
+                cpa = _conv_relu_xla(x, kpa, bpa, dt)
+            else:
+                cpa = jnp.stack(
+                    [conv_stage(x[i], kpa, bpa) for i in range(b)])
             logits = jnp.einsum(
                 "bhwc,cd->bhwd", cpa.astype(dt), kpb[0, 0].astype(dt),
                 preferred_element_type=jnp.float32,
@@ -148,7 +175,10 @@ class SuperPoint(nn.Module):
         kda, bda = _ConvParams(256, name="convDa")(128)
         kdb, bdb = _ConvParams(
             self.descriptor_dim, kernel_hw=(1, 1), name="convDb")(256)
-        cda = jnp.stack([conv_stage(x[i], kda, bda) for i in range(b)])
+        if self.conv_backend == "xla_batched":
+            cda = _conv_relu_xla(x, kda, bda, dt)
+        else:
+            cda = jnp.stack([conv_stage(x[i], kda, bda) for i in range(b)])
         dmap = jnp.einsum(
             "bhwc,cd->bhwd", cda.astype(dt), kdb[0, 0].astype(dt),
             preferred_element_type=jnp.float32,
@@ -166,6 +196,7 @@ class SuperPoint(nn.Module):
                 self.score_threshold,
                 self.border,
                 self.nms_radius,
+                prefer_pallas=self.conv_backend != "xla_batched",
             )
             descs = _sample_descriptors(keypoints, dm, stride=8)
             return SuperPointFeatures(
@@ -173,6 +204,12 @@ class SuperPoint(nn.Module):
                 mask=valid,
             )
 
+        if self.conv_backend == "xla_batched":
+            # training batches are large (2B images) but small-resolution:
+            # the batched top-k is safe there, and vmap keeps trace/compile
+            # time linear in ONE image instead of 2B unrolled copies
+            out = jax.vmap(select_and_sample)(heatmap, dmap)
+            return out if batched else jax.tree.map(lambda a: a[0], out)
         # Unrolled over the (small, static) batch rather than vmapped: the
         # TPU windowed top-k emitter CHECK-crashes on batched (rank-2)
         # operands at large sizes, and rank-1 top-k also compiles much

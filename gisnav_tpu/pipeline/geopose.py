@@ -289,9 +289,14 @@ def geopose_to_wgs84_f64(geopose: GeoPose, crs_affine_f64):
     r_cols = metric @ aff[:3, :3]
     r_enu = r_cols / np.linalg.norm(r_cols, axis=0, keepdims=True)
     r_ecef = enu_to_ecef_matrix(lon, lat) @ (r_enu @ r.T)
-    # project to SO(3) (column normalization leaves slight non-orthogonality)
-    u, _, vt = np.linalg.svd(r_ecef)
-    r_ecef = u @ np.diag([1.0, 1.0, np.linalg.det(u @ vt)]) @ vt
+    # project to SO(3) (column normalization leaves slight non-orthogonality);
+    # an invalid pose carries NaNs and must not crash the host-side SVD —
+    # callers gate on pose.valid, this output is then meaningless but finite
+    if np.all(np.isfinite(r_ecef)):
+        u, _, vt = np.linalg.svd(r_ecef)
+        r_ecef = u @ np.diag([1.0, 1.0, np.linalg.det(u @ vt)]) @ vt
+    else:
+        r_ecef = np.eye(3)
 
     return {
         "lon": lon,

@@ -71,19 +71,48 @@ def _random_affine(key, shape: Tuple[int, int], max_angle_deg: float,
     return a
 
 
+def _gaussian_blur(img: jnp.ndarray, sigma, radius: int = 3) -> jnp.ndarray:
+    """Separable Gaussian blur with a TRACED sigma (7-tap, sigma <~ 1.8).
+
+    Simulates the resampling low-pass both deployed views carry: the
+    reference crop goes through the 3-shear chained-lerp warp (blur grows
+    with rotation angle) and the orthoimage itself is an area-downsampled
+    WMS raster. Matching must survive unequal blur between the views.
+    """
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    g = jnp.exp(-0.5 * (offs / jnp.maximum(sigma, 1e-3)) ** 2)
+    g = g / jnp.sum(g)
+    x = img[None, :, :, None]
+    kx = g.reshape(1, 2 * radius + 1, 1, 1)
+    ky = g.reshape(2 * radius + 1, 1, 1, 1)
+    for kern in (ky, kx):
+        x = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    return x[0, :, :, 0]
+
+
 def device_batch(key, batch: int, shape: Tuple[int, int],
                  max_angle_deg: float = 180.0, max_scale: float = 1.6,
-                 max_shift: float = 0.12):
+                 max_shift: float = 0.12, max_blur_sigma: float = 1.6):
     """(image0, image1, transform) batch generated on device.
 
     ``transform`` maps image0 pixels to image1 pixels (last row [0, 0, 1]),
     directly usable as the training ground truth "homography".
     """
     def one(k):
-        k_tex, k_aff, k_pho = jax.random.split(k, 3)
+        k_tex, k_aff, k_pho, k_blur = jax.random.split(k, 4)
         img0 = _texture(k_tex, shape)
         a = _random_affine(k_aff, shape, max_angle_deg, max_scale, max_shift)
         img1 = warp_affine(img0[..., None], jnp.linalg.inv(a), shape)[..., 0]
+        # independent blur per view (deployment: query camera render vs
+        # 3-shear-resampled map crop — both low-passed, unequally)
+        kb0, kb1 = jax.random.split(k_blur)
+        s0 = jax.random.uniform(kb0, (), minval=0.0, maxval=max_blur_sigma)
+        s1 = jax.random.uniform(kb1, (), minval=0.0, maxval=max_blur_sigma)
+        img0 = _gaussian_blur(img0, s0)
+        img1 = _gaussian_blur(img1, s1)
         # photometric gap between the views (the real query camera and the
         # orthoimagery come from different sensors/seasons)
         kg, kb, kn = jax.random.split(k_pho, 3)

@@ -32,14 +32,51 @@ def train(
     ckpt_every: int = 200,
     log_every: int = 20,
     seed: int = 0,
+    device_data: Optional[bool] = None,
 ):
-    """Run self-supervised homography training; returns the final params."""
+    """Run self-supervised homography training; returns the final params.
+
+    ``device_data=True`` (default on accelerators) generates supervision
+    pairs on-device and advances the loop in jitted multi-step chunks —
+    the host only polls metrics. ``False`` uses the host/cv2 generator
+    (CPU default, exercised by tests).
+    """
     config = config or TrainConfig()
+    if device_data is None:
+        device_data = jax.default_backend() not in ("cpu",)
+    try:  # persistent jit cache: the train chunk costs minutes to compile
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/gisnav_tpu_jit_cache")
+    except Exception:  # pragma: no cover - older jax
+        pass
     state, tx = init_train_state(jax.random.PRNGKey(seed), config)
+    t0 = time.time()
+
+    if device_data:
+        from gisnav_tpu.train.steps import make_device_train_chunk
+
+        # fixed chunk size: it is baked into the scan length, so keeping it
+        # constant lets the persistent jit cache hit across runs/configs
+        chunk = 10
+        chunk_fn = jax.jit(make_device_train_chunk(
+            config, tx, batch_size, chunk=chunk))
+        key = jax.random.PRNGKey(seed + 1)
+        done = 0
+        while done < steps:
+            key, sub = jax.random.split(key)
+            state, metrics = chunk_fn(state, sub)
+            done += chunk
+            log.info(
+                "step %d loss %.4f gt_recall %.3f (%.2f steps/s)",
+                done, float(metrics["loss"]), float(metrics["gt_recall"]),
+                done / (time.time() - t0),
+            )
+            if ckpt_dir and (done % ckpt_every < chunk or done >= steps):
+                save_params(ckpt_dir, done, state.params)
+        return state.params
+
     step_fn = jax.jit(make_train_step(config, tx))
     rng = np.random.default_rng(seed)
-
-    t0 = time.time()
     for i in range(1, steps + 1):
         batch = make_homography_batch(rng, batch_size, config.image_shape)
         state, metrics = step_fn(

@@ -89,13 +89,25 @@ def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
     """
     h, w = config.image_shape
     sp = SuperPoint(max_keypoints=config.max_keypoints,
-                    detector_mode=config.detector_mode)
+                    detector_mode=config.detector_mode,
+                    conv_backend="xla_batched")
     lg = LightGlue(depth=config.lightglue_depth, filter_threshold=0.0)
 
     def loss_fn(params, image0, image1, homography):
-        def per_pair(im0, im1, hom):
-            f0 = sp.apply(params["superpoint"], im0)
-            f1 = sp.apply(params["superpoint"], im1)
+        # SuperPoint runs natively batched over the stacked (2B, H, W)
+        # images: its trunk unrolls the batch loop, keeping the fused
+        # Pallas conv kernels un-vmapped (Mosaic rejects batched
+        # ANY-memory-space blocks, see features/pallas_conv.py). Only the
+        # matcher + loss are vmapped per pair.
+        bsz = image0.shape[0]
+        feats = sp.apply(
+            params["superpoint"],
+            jnp.concatenate([image0, image1], axis=0),
+        )
+        f0s = jax.tree.map(lambda a: a[:bsz], feats)
+        f1s = jax.tree.map(lambda a: a[bsz:], feats)
+
+        def per_pair(f0, f1, hom):
             res = lg.apply(
                 params["lightglue"],
                 f0.keypoints, f0.descriptors, f0.mask, (h, w),
@@ -111,7 +123,7 @@ def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
             recall = jnp.sum(hit) / jnp.maximum(jnp.sum(gt >= 0), 1)
             return loss, recall
 
-        losses, recalls = jax.vmap(per_pair)(image0, image1, homography)
+        losses, recalls = jax.vmap(per_pair)(f0s, f1s, homography)
         return jnp.mean(losses), jnp.mean(recalls)
 
     def train_step(state: TrainState, image0, image1, homography):
@@ -125,3 +137,33 @@ def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
         return new_state, {"loss": loss, "gt_recall": recall}
 
     return train_step
+
+
+def make_device_train_chunk(config: TrainConfig,
+                            tx: optax.GradientTransformation,
+                            batch_size: int, chunk: int = 20) -> Callable:
+    """Build a jittable (state, key) -> (state, metrics) that runs ``chunk``
+    train steps with ON-DEVICE data generation inside one ``lax.scan``.
+
+    Removes the host from the loop entirely: supervision pairs come from
+    ``train.device_data.device_batch`` on the accelerator, and one host
+    round-trip advances ``chunk`` steps (the dev-tunnel TPU moves ~15 MB/s
+    with ~30 ms RTT — per-step host batches would dominate wall-clock).
+    """
+    from gisnav_tpu.train.device_data import device_batch
+
+    step_fn = make_train_step(config, tx)
+
+    def chunk_fn(state: TrainState, key):
+        def body(st, k):
+            img0, img1, hom = device_batch(
+                k, batch_size, config.image_shape
+            )
+            st, metrics = step_fn(st, img0, img1, hom)
+            return st, metrics
+
+        keys = jax.random.split(key, chunk)
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return chunk_fn
