@@ -61,6 +61,7 @@ def _cmd_train(args) -> int:
         max_keypoints=args.max_keypoints,
         lightglue_depth=args.depth,
         learning_rate=args.lr,
+        detector_mode=args.detector_mode,
     )
     train(steps=args.steps, batch_size=args.batch, config=cfg,
           ckpt_dir=args.ckpt_dir)
@@ -126,7 +127,9 @@ def main(argv=None) -> int:
     tr.add_argument("--image-shape", type=int, nargs=2, default=(128, 160))
     tr.add_argument("--max-keypoints", type=int, default=256)
     tr.add_argument("--depth", type=int, default=3)
-    tr.add_argument("--lr", type=float, default=1e-4)
+    tr.add_argument("--lr", type=float, default=3e-4)
+    tr.add_argument("--detector-mode", default="learned",
+                    choices=("learned", "harris"))
     tr.add_argument("--ckpt-dir", default=None)
     tr.set_defaults(fn=_cmd_train)
 

@@ -94,7 +94,10 @@ class SuperPoint(nn.Module):
     # threshold is interpreted on the normalized Harris response)
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray) -> SuperPointFeatures:
+    def __call__(self, image: jnp.ndarray, return_logits: bool = False):
+        """Extract features; with ``return_logits`` also return the raw
+        (B, H/8, W/8, 65) detector cell logits (training supervision for
+        the learned head — see ``train.steps`` detector distillation)."""
         # Accept (H, W), (H, W, 1) or batched (B, H, W); convs run natively
         # batched (MXU-friendly), per-image postprocessing is vmapped.
         batched = True
@@ -153,6 +156,7 @@ class SuperPoint(nn.Module):
             from gisnav_tpu.features.harris import harris_response
 
             heatmap = jax.vmap(harris_response)(image.astype(jnp.float32))
+            logits = None
         else:
             # Detector head: 65 = 8x8 cell + dustbin (3x3 conv fused, the
             # 1x1 is a plain matmul)
@@ -209,15 +213,22 @@ class SuperPoint(nn.Module):
             # the batched top-k is safe there, and vmap keeps trace/compile
             # time linear in ONE image instead of 2B unrolled copies
             out = jax.vmap(select_and_sample)(heatmap, dmap)
-            return out if batched else jax.tree.map(lambda a: a[0], out)
-        # Unrolled over the (small, static) batch rather than vmapped: the
-        # TPU windowed top-k emitter CHECK-crashes on batched (rank-2)
-        # operands at large sizes, and rank-1 top-k also compiles much
-        # faster. Batch is 1-2 images in every pipeline mode.
-        per_image = [select_and_sample(heatmap[i], dmap[i]) for i in range(b)]
+        else:
+            # Unrolled over the (small, static) batch rather than vmapped:
+            # the TPU windowed top-k emitter CHECK-crashes on batched
+            # (rank-2) operands at large sizes, and rank-1 top-k also
+            # compiles much faster. Batch is 1-2 images in every pipeline
+            # mode.
+            per_image = [
+                select_and_sample(heatmap[i], dmap[i]) for i in range(b)
+            ]
+            out = jax.tree.map(lambda *xs: jnp.stack(xs), *per_image)
         if not batched:
-            return per_image[0]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *per_image)
+            out = jax.tree.map(lambda a: a[0], out)
+            if return_logits:
+                return out, (None if logits is None else logits[0])
+            return out
+        return (out, logits) if return_logits else out
 
 
 def _sample_descriptors(kpts: jnp.ndarray, dmap: jnp.ndarray, stride: int

@@ -34,10 +34,16 @@ class TrainConfig:
     image_shape: Tuple[int, int] = (128, 160)
     max_keypoints: int = 256
     lightglue_depth: int = 3
-    learning_rate: float = 1e-4
+    learning_rate: float = 3e-4
     weight_decay: float = 1e-5
     gt_radius_px: float = 3.0  # keypoint-reprojection radius for positives
     detector_mode: str = "learned"  # "harris" = train descriptors/matcher only
+    detector_loss_weight: float = 1.0  # Harris-distillation CE ("learned")
+    # curriculum: augmentation difficulty ramps 0 -> 1 over this many steps
+    # (cold-start on the full 180-deg/2.6x-scale/blur task never leaves the
+    # random-matcher plateau; easy-first reaches 0.97 GT recall in 600 steps
+    # at the same lr -- measured on-TPU, see train/device_data.py ranges)
+    curriculum_steps: int = 4000
 
 
 def init_train_state(key, config: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
@@ -80,6 +86,40 @@ def matcher_loss(scores, gt_idx, mask0):
     return jnp.sum(loss) / denom
 
 
+def _harris_cell_labels(image: jnp.ndarray, thr: float = 0.02
+                        ) -> jnp.ndarray:
+    """(H, W) image -> (H/8, W/8) int32 cell labels distilling Harris.
+
+    Per 8x8 cell: index (0..63) of the NMS'd Harris response argmax, or 64
+    (the SuperPoint dustbin) when the cell has no corner above ``thr``.
+    This is the original SuperPoint supervised recipe (MagicLeap trains on
+    synthetic-corner pseudo-labels; our training textures are synthetic
+    corner-rich blobs where Harris IS near-ground-truth), so the learned
+    head trains jointly with the matcher without an external checkpoint.
+    """
+    from gisnav_tpu.features.harris import harris_response
+    from gisnav_tpu.features.nms import simple_nms
+
+    h, w = image.shape
+    hc, wc = h // 8, w // 8
+    nms = simple_nms(harris_response(image), radius=4)
+    cells = nms.reshape(hc, 8, wc, 8).transpose(0, 2, 1, 3)
+    cells = cells.reshape(hc, wc, 64)
+    cmax = jnp.max(cells, axis=-1)
+    carg = jnp.argmax(cells, axis=-1).astype(jnp.int32)
+    return jnp.where(cmax > thr, carg, 64)
+
+
+def detector_distill_loss(logits: jnp.ndarray, images: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Cross-entropy of the (B, hc, wc, 65) detector cell logits against
+    per-image Harris pseudo-labels."""
+    labels = jax.vmap(_harris_cell_labels)(images.astype(jnp.float32))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.mean(ce)
+
+
 def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
                     ) -> Callable:
     """Build the jittable (state, batch) -> (state, metrics) step.
@@ -100,9 +140,9 @@ def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
         # ANY-memory-space blocks, see features/pallas_conv.py). Only the
         # matcher + loss are vmapped per pair.
         bsz = image0.shape[0]
-        feats = sp.apply(
-            params["superpoint"],
-            jnp.concatenate([image0, image1], axis=0),
+        images = jnp.concatenate([image0, image1], axis=0)
+        feats, det_logits = sp.apply(
+            params["superpoint"], images, return_logits=True,
         )
         f0s = jax.tree.map(lambda a: a[:bsz], feats)
         f1s = jax.tree.map(lambda a: a[bsz:], feats)
@@ -124,7 +164,11 @@ def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
             return loss, recall
 
         losses, recalls = jax.vmap(per_pair)(f0s, f1s, homography)
-        return jnp.mean(losses), jnp.mean(recalls)
+        loss = jnp.mean(losses)
+        if det_logits is not None:
+            loss = loss + config.detector_loss_weight * detector_distill_loss(
+                det_logits, images)
+        return loss, jnp.mean(recalls)
 
     def train_step(state: TrainState, image0, image1, homography):
         (loss, recall), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -156,8 +200,19 @@ def make_device_train_chunk(config: TrainConfig,
 
     def chunk_fn(state: TrainState, key):
         def body(st, k):
+            if config.curriculum_steps > 0:
+                d = jnp.clip(
+                    st.step.astype(jnp.float32) / config.curriculum_steps,
+                    0.0, 1.0,
+                )
+            else:
+                d = jnp.float32(1.0)
             img0, img1, hom = device_batch(
-                k, batch_size, config.image_shape
+                k, batch_size, config.image_shape,
+                max_angle_deg=20.0 + 160.0 * d,
+                max_scale=0.3 + 1.3 * d,
+                max_shift=0.06 + 0.06 * d,
+                max_blur_sigma=1.6 * d,
             )
             st, metrics = step_fn(st, img0, img1, hom)
             return st, metrics

@@ -42,6 +42,50 @@ class TestTrainStep:
         assert last < first, (first, last)
 
 
+class TestDetectorDistill:
+    def test_harris_cell_labels_flat_image_is_all_dustbin(self):
+        from gisnav_tpu.train.steps import _harris_cell_labels
+
+        labels = _harris_cell_labels(jnp.zeros((32, 40)))
+        assert labels.shape == (4, 5)
+        assert np.all(np.asarray(labels) == 64)
+
+    def test_harris_cell_labels_mark_a_corner(self):
+        from gisnav_tpu.train.steps import _harris_cell_labels
+
+        img = jnp.zeros((32, 40)).at[12:, 20:].set(1.0)  # corner at (12, 20)
+        labels = np.asarray(_harris_cell_labels(img))
+        marked = np.argwhere(labels != 64)
+        assert len(marked) >= 1
+        # the corner cell (row 12//8=1, col 20//8=2) must be among them
+        assert any((r, c) == (1, 2) for r, c in marked), marked
+
+    def test_distill_loss_finite_and_grads_flow(self):
+        from gisnav_tpu.train.steps import detector_distill_loss
+
+        key = jax.random.PRNGKey(0)
+        imgs = jax.random.uniform(key, (2, 32, 40))
+        logits = jax.random.normal(key, (2, 4, 5, 65))
+        loss, g = jax.value_and_grad(detector_distill_loss)(logits, imgs)
+        assert np.isfinite(float(loss))
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+    def test_device_chunk_curriculum_bounds_traced(self):
+        """The curriculum difficulty is a function of the traced step; the
+        chunk must compile once and advance the step count."""
+        import dataclasses
+
+        from gisnav_tpu.train.steps import make_device_train_chunk
+
+        cfg = dataclasses.replace(SMALL, curriculum_steps=10)
+        state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
+        chunk = jax.jit(make_device_train_chunk(cfg, tx, batch_size=2,
+                                                chunk=2))
+        state, metrics = chunk(state, jax.random.PRNGKey(1))
+        assert int(state.step) == 2
+        assert np.isfinite(float(metrics["loss"]))
+
+
 class TestMesh:
     def test_make_mesh_shapes(self):
         mesh = make_mesh(8, model_parallel=2)
