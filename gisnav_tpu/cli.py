@@ -102,6 +102,82 @@ def _cmd_doctor(args) -> int:
     return 0 if ok else 1
 
 
+def _fleet_groups(services, hosts):
+    """Group services by execution target.
+
+    Mirrors the reference ``gnc`` CLI's ``service[@remote]`` addressing
+    (``debian/gisnav/usr/bin/gnc`` in hmakelin/gisnav): a ``@remote``
+    suffix sends that service to the ssh target; plain services go to every
+    ``--host`` (or locally when none is given). Returns an ordered
+    ``{target-or-None: [services]}`` dict.
+    """
+    groups: dict = {}
+    plain = []
+    for svc in services:
+        if "@" in svc:
+            name, target = svc.split("@", 1)
+            groups.setdefault(target, []).append(name)
+        else:
+            plain.append(svc)
+    if plain or not groups:
+        for target in (hosts or [None]):
+            groups.setdefault(target, [])
+            groups[target] = plain + groups[target] if target in groups \
+                else plain
+    return groups
+
+
+def _cmd_fleet(args) -> int:
+    """Fan a docker compose verb out to local/remote hosts.
+
+    The reference's ``gnc`` runs compose services on remote hosts over SSH
+    for split topologies (GIS on a companion computer, sim on a
+    workstation). Equivalent here, minus its interactive-tty bookkeeping:
+    each target runs ``docker compose -p gisnav-tpu -f <file> VERB ...``.
+    """
+    import shlex
+    import subprocess
+    from concurrent.futures import ThreadPoolExecutor
+
+    compose_file = args.compose_file
+    groups = _fleet_groups(args.services, args.host)
+
+    def build_cmd(target, services):
+        if target is None:
+            return ["docker", "compose", "-p", "gisnav-tpu",
+                    "-f", compose_file, args.verb, *args.extra, *services]
+        # remotes use the checkout-relative compose file; leave a leading
+        # ~ unquoted so the remote shell expands it
+        rp = args.remote_path
+        rp_q = ("~" + shlex.quote(rp[1:])) if rp.startswith("~") \
+            else shlex.quote(rp)
+        base = ["docker", "compose", "-p", "gisnav-tpu",
+                "-f", "docker/docker-compose.yaml",
+                args.verb, *args.extra, *services]
+        remote_cmd = (
+            f"cd {rp_q} && " + " ".join(shlex.quote(c) for c in base)
+        )
+        return ["ssh", "-o", "BatchMode=yes", target, remote_cmd]
+
+    cmds = [(t, build_cmd(t, svcs)) for t, svcs in groups.items()]
+    if args.dry_run:
+        for target, cmd in cmds:
+            print(f"[{target or 'local'}] {' '.join(cmd)}")
+        return 0
+
+    def run_one(item):
+        target, cmd = item
+        proc = subprocess.run(cmd)
+        if proc.returncode != 0:
+            print(f"[{target or 'local'}] exited {proc.returncode}",
+                  file=sys.stderr)
+        return proc.returncode
+
+    with ThreadPoolExecutor(max_workers=max(1, len(cmds))) as pool:
+        rcs = list(pool.map(run_one, cmds))
+    return max(rcs) if rcs else 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="gisnav_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -136,6 +212,29 @@ def main(argv=None) -> int:
     doctor = sub.add_parser("doctor", help="environment self-check")
     doctor.add_argument("--wms-url", default=None)
     doctor.set_defaults(fn=_cmd_doctor)
+
+    import os as _os
+
+    fleet = sub.add_parser(
+        "fleet", help="fan compose verbs out to local/remote hosts (gnc)")
+    fleet.add_argument("--host", action="append", default=None,
+                       help="ssh target (user@host); repeatable")
+    fleet.add_argument("--remote-path", default="~/gisnav_tpu",
+                       help="repo checkout path on remote hosts")
+    fleet.add_argument(
+        "--compose-file",
+        default=_os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "docker", "docker-compose.yaml"))
+    fleet.add_argument("--dry-run", action="store_true",
+                       help="print the commands without executing")
+    fleet.add_argument("verb",
+                       help="any docker compose verb (up, down, ps, ...)")
+    fleet.add_argument("services", nargs="*",
+                       help="service names, optionally service@remote")
+    fleet.add_argument("--extra", nargs="*", default=[],
+                       help="extra compose args (use = for dashed values, "
+                            "e.g. --extra=-d)")
+    fleet.set_defaults(fn=_cmd_fleet)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -58,6 +58,34 @@ class BBoxNode(Node):
                 TOPIC_FOV_BOUNDING_BOX,
                 {"stamp_us": msg["stamp_us"], "bbox": bbox},
             )
+        self._publish_stabilized_frame(int(msg["stamp_us"]))
+
+    def _publish_stabilized_frame(self, stamp_us: int) -> None:
+        """Maintain ``gisnav_base_link_stabilized``: the vehicle pose with
+        roll/pitch removed (yaw-only), the parent frame for horizon-locked
+        gimbal frames (``GimbalDeviceAttitudeStatus`` flags bitmask 1100 —
+        pitch/roll stabilized, yaw floating). Parity with the reference's
+        ``base_link_stabilized`` broadcast (``core/bbox_node.py:387-436`` in
+        hmakelin/gisnav)."""
+        if self.tf is None:
+            return
+        try:
+            h = self.tf.lookup("gisnav_map", "gisnav_base_link", stamp_us)
+        except Exception:  # noqa: BLE001 - frame not yet available
+            return
+        from gisnav_tpu.geometry.quaternion import (
+            euler_to_quat,
+            matrix_to_quat,
+            quat_to_euler,
+        )
+        from gisnav_tpu.geometry.se3 import make_transform
+
+        _, _, yaw = quat_to_euler(matrix_to_quat(h[:3, :3]))
+        r_yaw = quat_to_matrix(euler_to_quat(0.0, 0.0, yaw))
+        self.tf.add(
+            "gisnav_map", "gisnav_base_link_stabilized",
+            make_transform(r_yaw, h[:3, 3]), stamp_us,
+        )
 
     def compute_bbox(self, attitude) -> Optional[object]:
         if self._camera_info is None or self._nav_fix is None:

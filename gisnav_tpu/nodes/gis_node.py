@@ -37,8 +37,11 @@ class GISNode(Node):
 
     def __init__(self, bus, params=None, tf=None, wms_client=None):
         super().__init__(GIS_NODE_NAME, bus, params, tf)
+        import os
+
         self.wms = wms_client or WMSClient(
-            self.param("wms_url", "http://127.0.0.1:80/wms"),
+            self.param("wms_url", os.environ.get(
+                "GISNAV_WMS_URL", "http://127.0.0.1:80/wms")),
             self.param("wms_version", "1.1.1"),
             self.param("wms_timeout", 10.0),
         )

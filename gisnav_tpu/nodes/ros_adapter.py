@@ -64,6 +64,48 @@ class RosAdapter:
         self.node: "RclpyNode" = RclpyNode(node_name)
         self._wire_inputs()
         self._wire_outputs(protocols)
+        self.configure_mavros()
+
+    def configure_mavros(self) -> None:
+        """Push the MAVROS plugin configuration the graph depends on.
+
+        Parity with the reference BBoxNode's startup service calls
+        (``core/bbox_node.py:68-96`` in hmakelin/gisnav): the
+        ``local_position`` and ``gimbal_control`` plugins must broadcast
+        their tf frames (``tf.send=true``), local position against the
+        ``odom`` frame, and gimbal frames parented on the roll/pitch
+        -stabilized base link so horizon lock is respected. Fail-soft: a
+        missing service (plugin not loaded) is logged and skipped.
+        """
+        try:
+            from rcl_interfaces.msg import Parameter, ParameterValue
+            from rcl_interfaces.msg import ParameterType as PT
+            from rcl_interfaces.srv import SetParameters
+        except ImportError:
+            return
+
+        def pbool(name, v):
+            return Parameter(name=name, value=ParameterValue(
+                type=PT.PARAMETER_BOOL, bool_value=v))
+
+        def pstr(name, v):
+            return Parameter(name=name, value=ParameterValue(
+                type=PT.PARAMETER_STRING, string_value=v))
+
+        plan = {
+            "/mavros/local_position/set_parameters": [
+                pbool("tf.send", True), pstr("tf.frame_id", "odom")],
+            "/mavros/gimbal_control/set_parameters": [
+                pbool("tf.send", True),
+                pstr("tf.frame_id", "base_link_stabilized_frd")],
+        }
+        for srv, params in plan.items():
+            cli = self.node.create_client(SetParameters, srv)
+            if not cli.wait_for_service(timeout_sec=2.0):
+                self.node.get_logger().warning(
+                    f"{srv} unavailable; MAVROS plugin not auto-configured")
+                continue
+            cli.call_async(SetParameters.Request(parameters=params))
 
     # -- ROS -> bus --------------------------------------------------------
 
