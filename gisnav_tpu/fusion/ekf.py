@@ -110,13 +110,19 @@ def ekf_predict(state: EKFState, dt, q_diag) -> EKFState:
 
 
 @jax.jit
-def ekf_update_pose(state: EKFState, z, r_diag, mask) -> EKFState:
+def ekf_update_pose(state: EKFState, z, r_diag, mask,
+                    rejection_threshold=0.0) -> EKFState:
     """Update with a 6-DoF pose measurement (x, y, z, roll, pitch, yaw).
 
     :param z: (6,) measurement in the world frame
     :param r_diag: (6,) measurement noise variances
     :param mask: (6,) 1.0 to fuse a component, 0.0 to ignore (the
         robot_localization per-sensor config vector)
+    :param rejection_threshold: Mahalanobis innovation gate (standard
+        deviations); <= 0 disables. robot_localization's
+        ``poseN_rejection_threshold`` (``ekf_global_node.yaml:17``) — a
+        wildly wrong PnP solution (e.g. an aliased match on self-similar
+        terrain) must not yank the filter.
     """
     h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, :POSE_DIM].set(jnp.eye(POSE_DIM))
     innov = z - state.x[:POSE_DIM]
@@ -126,7 +132,12 @@ def ekf_update_pose(state: EKFState, z, r_diag, mask) -> EKFState:
     # masked-out components get huge variance so they do not move the state
     r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
     s = h @ state.p @ h.T + r
-    k = state.p @ h.T @ jnp.linalg.inv(s)
+    s_inv = jnp.linalg.inv(s)
+    thr = jnp.asarray(rejection_threshold, jnp.float32)
+    d2 = innov @ s_inv @ innov
+    accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
+    # rejected measurement -> zero gain: x and P pass through unchanged
+    k = accept * (state.p @ h.T @ s_inv)
     x_new = state.x + k @ innov
     x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
     ident = jnp.eye(STATE_DIM)
@@ -137,7 +148,8 @@ def ekf_update_pose(state: EKFState, z, r_diag, mask) -> EKFState:
 
 
 @jax.jit
-def ekf_update_velocity(state: EKFState, z, r_diag, mask) -> EKFState:
+def ekf_update_velocity(state: EKFState, z, r_diag, mask,
+                        rejection_threshold=0.0) -> EKFState:
     """Update with a 6-DoF body-frame velocity measurement
     (vx, vy, vz, vroll, vpitch, vyaw).
 
@@ -150,7 +162,11 @@ def ekf_update_velocity(state: EKFState, z, r_diag, mask) -> EKFState:
     innov = (z - state.x[6:12]) * mask
     r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
     s = h @ state.p @ h.T + r
-    k = state.p @ h.T @ jnp.linalg.inv(s)
+    s_inv = jnp.linalg.inv(s)
+    thr = jnp.asarray(rejection_threshold, jnp.float32)
+    d2 = innov @ s_inv @ innov
+    accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
+    k = accept * (state.p @ h.T @ s_inv)
     x_new = state.x + k @ innov
     x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
     ident = jnp.eye(STATE_DIM)

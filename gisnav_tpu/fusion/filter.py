@@ -46,6 +46,11 @@ class SensorConfig:
     differential: bool = False
     fuse_mask: Tuple[bool, ...] = (True,) * 6  # x y z roll pitch yaw
     timeout_s: float = 30.0
+    # Mahalanobis innovation gate in SDs (robot_localization's
+    # ``poseN_rejection_threshold``, ``ekf_global_node.yaml:17``); <= 0
+    # disables. Protects against aliased PnP solutions on self-similar
+    # terrain yanking the filter hundreds of meters.
+    rejection_threshold: float = 0.0
 
 
 class PoseFusionFilter:
@@ -146,7 +151,9 @@ class PoseFusionFilter:
         if not cfg.differential:
             rpy = quat_to_euler(quat_xyzw)
             z = np.concatenate([position, rpy]).astype(np.float32)
-            self._state = self._update_pose(self._state, z, r_diag, mask)
+            self._state = self._update_pose(
+                self._state, z, r_diag, mask,
+                np.float32(cfg.rejection_threshold))
         else:
             prev = self._prev_pose.get(sensor)
             self._prev_pose[sensor] = (int(stamp_us), position, quat_xyzw)
@@ -163,7 +170,8 @@ class PoseFusionFilter:
             w_body = np.asarray(quat_to_euler(q_delta)) / dt
             z = np.concatenate([v_body, w_body]).astype(np.float32)
             self._state = self._update_velocity(
-                self._state, z, r_diag / max(dt, 1e-3), mask
+                self._state, z, r_diag / max(dt, 1e-3), mask,
+                np.float32(cfg.rejection_threshold)
             )
 
     def state_at(self, stamp_us: int):

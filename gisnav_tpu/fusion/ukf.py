@@ -57,7 +57,8 @@ def ukf_predict(state: EKFState, dt, q_diag) -> EKFState:
     return EKFState(x=x_new, p=p_new)
 
 
-def _ukf_update(state: EKFState, z, r_diag, mask, obs_slice) -> EKFState:
+def _ukf_update(state: EKFState, z, r_diag, mask, obs_slice,
+                rejection_threshold=0.0) -> EKFState:
     sigmas = _sigma_points(state.x, state.p)
     zs = sigmas[:, obs_slice]  # linear observation of a state slice
     z_pred = zs.T @ _WM
@@ -66,11 +67,17 @@ def _ukf_update(state: EKFState, z, r_diag, mask, obs_slice) -> EKFState:
     r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
     s = jnp.einsum("i,ij,ik->jk", _WC, dz, dz) + r
     c = jnp.einsum("i,ij,ik->jk", _WC, dx, dz)
-    k = c @ jnp.linalg.inv(s)
+    s_inv = jnp.linalg.inv(s)
     innov = z - z_pred
     if obs_slice.start == 0:  # pose observation: wrap angle residuals
         innov = innov.at[3:6].set(_wrap_angle(innov[3:6]))
     innov = innov * mask
+    # Mahalanobis innovation gate (robot_localization's
+    # poseN_rejection_threshold); <= 0 disables
+    thr = jnp.asarray(rejection_threshold, jnp.float32)
+    d2 = innov @ s_inv @ innov
+    accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
+    k = accept * (c @ s_inv)
     x_new = state.x + k @ innov
     x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
     p_new = state.p - k @ s @ k.T
@@ -78,12 +85,16 @@ def _ukf_update(state: EKFState, z, r_diag, mask, obs_slice) -> EKFState:
 
 
 @jax.jit
-def ukf_update_pose(state: EKFState, z, r_diag, mask) -> EKFState:
+def ukf_update_pose(state: EKFState, z, r_diag, mask,
+                    rejection_threshold=0.0) -> EKFState:
     """Unscented update with a 6-DoF pose measurement."""
-    return _ukf_update(state, z, r_diag, mask, slice(0, POSE_DIM))
+    return _ukf_update(state, z, r_diag, mask, slice(0, POSE_DIM),
+                       rejection_threshold)
 
 
 @jax.jit
-def ukf_update_velocity(state: EKFState, z, r_diag, mask) -> EKFState:
+def ukf_update_velocity(state: EKFState, z, r_diag, mask,
+                        rejection_threshold=0.0) -> EKFState:
     """Unscented update with a body-frame velocity measurement."""
-    return _ukf_update(state, z, r_diag, mask, slice(6, 12))
+    return _ukf_update(state, z, r_diag, mask, slice(6, 12),
+                       rejection_threshold)

@@ -39,7 +39,12 @@ class FusionNode(Node):
         # global filter: absolute deep pose + differential VO
         self.global_filter = PoseFusionFilter(
             {
-                "pose": SensorConfig(),
+                # innovation gate: an aliased PnP fix on self-similar
+                # terrain must not yank the filter (robot_localization's
+                # pose0_rejection_threshold; reference suggests 2.0, we
+                # default 3.0 for faster reconvergence after dropouts)
+                "pose": SensorConfig(rejection_threshold=self.param(
+                    "pose_rejection_threshold", 3.0)),
                 "vo": SensorConfig(differential=True),
             },
             backend=self.param("global_filter", "ukf"),  # reference: UKF

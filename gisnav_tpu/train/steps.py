@@ -34,7 +34,8 @@ class TrainConfig:
     image_shape: Tuple[int, int] = (128, 160)
     max_keypoints: int = 256
     lightglue_depth: int = 3
-    learning_rate: float = 3e-4
+    # NOTE: depth>=5 LightGlue dustbin-collapses at 3e-4; 1e-4 is stable
+    learning_rate: float = 1e-4
     weight_decay: float = 1e-5
     gt_radius_px: float = 3.0  # keypoint-reprojection radius for positives
     detector_mode: str = "learned"  # "harris" = train descriptors/matcher only

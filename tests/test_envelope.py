@@ -1,0 +1,141 @@
+"""Scenario-envelope end-to-end tests: rotation sweep, altitude change,
+elevated terrain, and the error-vs-altitude envelope.
+
+Widens the straight-line/constant-altitude replay of
+``test_integration.py`` toward the reference's SITL flight envelope
+(``test/sitl/sitl_px4.py`` in hmakelin/gisnav flies a mission with turns;
+``BASELINE.md`` reports error growth with altitude). Same synthetic world,
+same 10 m per-fix acceptance gate.
+"""
+import numpy as np
+import pytest
+
+import tests.test_integration as ti
+from gisnav_tpu.geometry.crs import haversine_m
+from gisnav_tpu.nodes import GisNavApp
+from gisnav_tpu.nodes.mock_gps import TOPIC_SENSOR_GPS
+
+
+def _fly(wms_url, profile, ground_alt_m=0.0, dem_value=0):
+    """Run the full graph over ``profile`` = [(lon, lat, alt_ellipsoid_m,
+    yaw_deg), ...]; returns (fixes, truth_by_stamp)."""
+    from gisnav_tpu.gis import WMSClient
+
+    ti._DEM_VALUE[0] = dem_value
+    try:
+        app = GisNavApp(
+            params={
+                "gis_node": {
+                    "wms_url": wms_url,
+                    "wms_layers": ["imagery"],
+                    "wms_dem_layers": ["dem"],
+                },
+                "twist_node": {"ground_altitude_m": ground_alt_m},
+                "bbox_node": {"ground_altitude_m": ground_alt_m},
+            },
+            wms_client=WMSClient(wms_url),
+            protocol="uorb",
+        )
+        fixes = []
+        app.bus.subscribe(TOPIC_SENSOR_GPS, fixes.append)
+        app.bus.publish("/camera/camera_info",
+                        {"k": ti.K_CAM, "width": 640, "height": 480})
+
+        truth = {}
+        stamp = 1_000_000
+        for lon, lat, alt, yaw in profile:
+            stamp += 500_000
+            truth[stamp] = (lon, lat, alt)
+            app.bus.publish("/mavros/global_position/global", {
+                "stamp_us": stamp, "lat": lat, "lon": lon,
+                "alt_ellipsoid": alt,
+            })
+            app.bus.publish(
+                "/mavros/gimbal_control/device/attitude_status",
+                {"stamp_us": stamp,
+                 "quat_xyzw": ti._camera_attitude_quat(yaw)},
+            )
+            app.gis.tick()
+            frame = ti._render_frame(lon, lat, alt - ground_alt_m, yaw)
+            app.bus.publish("/camera/image_raw", {
+                "stamp_us": stamp, "frame_id": "camera_optical",
+                "image": frame,
+            })
+        app.shutdown()
+    finally:
+        ti._DEM_VALUE[0] = 0
+    return fixes, truth
+
+
+def _gate(fixes, truth, n_min=5, horiz_max=10.0, vert_max=10.0):
+    assert len(fixes) >= n_min, f"only {len(fixes)} fixes"
+    horiz_errs, vert_errs = [], []
+    for fix in fixes:
+        lon_t, lat_t, alt_t = truth[fix["timestamp_sample"]]
+        lat_f, lon_f = fix["lat"] / 1e7, fix["lon"] / 1e7
+        horiz = haversine_m(lat_t, lon_t, lat_f, lon_f)
+        vert = abs(fix["alt_ellipsoid"] / 1e3 - alt_t)
+        assert horiz < horiz_max, (horiz, fix)
+        assert vert < vert_max, (vert, fix)
+        horiz_errs.append(horiz)
+        vert_errs.append(vert)
+    return float(np.mean(horiz_errs)), float(np.mean(vert_errs))
+
+
+def _east(lon0, east_m):
+    return lon0 + east_m / (111320 * np.cos(np.radians(60)))
+
+
+class TestEnvelope:
+    def test_yaw_sweep(self, wms_url):
+        """90-degree heading change mid-flight (the reference mission's
+        turns); classical backend re-warps the reference per yaw bucket."""
+        lat0, lon0 = 60.02, 24.03
+        profile = [
+            (_east(lon0, 10.0 * i), lat0, ti.ALT_M, 90.0 * i / 19)
+            for i in range(20)
+        ]
+        fixes, truth = _fly(wms_url, profile)
+        _gate(fixes, truth)
+
+    def test_altitude_climb(self, wms_url):
+        """350 m -> 650 m climb: map GSD and FOV change underway."""
+        lat0, lon0 = 60.02, 24.03
+        profile = [
+            (_east(lon0, 8.0 * i), lat0, 350.0 + 300.0 * i / 19, 15.0)
+            for i in range(20)
+        ]
+        fixes, truth = _fly(wms_url, profile)
+        _gate(fixes, truth)
+
+    def test_elevated_terrain_dem(self, wms_url):
+        """Terrain at 80 m ellipsoid: the DEM z-lift must put the fix back
+        on the ellipsoid (a zero-DEM assumption would read ~80 m low)."""
+        lat0, lon0 = 60.02, 24.03
+        alt = ti.ALT_M + 80.0
+        profile = [
+            (_east(lon0, 10.0 * i), lat0, alt, 15.0) for i in range(16)
+        ]
+        fixes, truth = _fly(wms_url, profile, ground_alt_m=80.0,
+                            dem_value=80)
+        _gate(fixes, truth, n_min=3)
+
+    def test_error_vs_altitude_envelope(self, wms_url):
+        """Mean-error envelope across the working altitude band (the
+        BASELINE.md error-vs-altitude counterpart)."""
+        lat0, lon0 = 60.02, 24.03
+        envelope = {}
+        for alt in (300.0, 500.0, 700.0):
+            profile = [
+                (_east(lon0, 10.0 * i), lat0, alt, 15.0) for i in range(16)
+            ]
+            fixes, truth = _fly(wms_url, profile)
+            envelope[alt] = _gate(fixes, truth, n_min=3)
+        print("error envelope (alt -> mean horiz/vert m):", envelope)
+        # errors stay bounded and do not blow up with altitude
+        for alt, (h, v) in envelope.items():
+            assert h < 8.0 and v < 8.0, (alt, h, v)
+
+
+# reuse the module-scoped stub WMS server
+wms_url = ti.wms_url

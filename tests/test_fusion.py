@@ -92,6 +92,45 @@ class TestPoseFusionFilter:
         # ...and learn the velocity from positions alone
         assert np.isclose(np.mean(vels), 5.0, atol=1.0)
 
+    def test_rejection_gate_survives_outlier_fix(self):
+        """An aliased 500 m PnP jump must be rejected (robot_localization
+        pose0_rejection_threshold behavior), and good fixes afterwards must
+        still fuse."""
+        for backend in ("ekf", "ukf"):
+            f = PoseFusionFilter(
+                {"deep": SensorConfig(rejection_threshold=3.0)},
+                backend=backend,
+            )
+            t, true_pos = self._fly(f, noise=1.0, n=40)
+            # wild outlier
+            t += 200_000
+            true_pos = true_pos + np.array([1.0, 0, 0])
+            f.submit("deep", t, true_pos + np.array([500.0, 0, 0]),
+                     euler_to_quat(0, 0, 0),
+                     np.diag([1.0] * 3 + [0.01] * 3))
+            out = f.state_at(t)
+            err = np.linalg.norm(out["position"] - true_pos)
+            assert err < 10.0, (backend, err)
+            # recovery: good fixes keep fusing
+            for _ in range(10):
+                t += 200_000
+                true_pos = true_pos + np.array([1.0, 0, 0])
+                f.submit("deep", t, true_pos, euler_to_quat(0, 0, 0),
+                         np.diag([1.0] * 3 + [0.01] * 3))
+            out = f.state_at(t)
+            err = np.linalg.norm(out["position"] - true_pos)
+            assert err < 3.0, (backend, err)
+
+    def test_rejection_disabled_by_default(self):
+        f = PoseFusionFilter({"deep": SensorConfig()})
+        t, true_pos = self._fly(f, noise=0.5, n=30)
+        t += 200_000
+        f.submit("deep", t, true_pos + np.array([500.0, 0, 0]),
+                 euler_to_quat(0, 0, 0), np.diag([1.0] * 3 + [0.01] * 3))
+        out = f.state_at(t)
+        # without a gate the outlier DOES move the filter substantially
+        assert np.linalg.norm(out["position"] - true_pos) > 50.0
+
     def test_differential_vo_initializes_after_absolute(self):
         f = PoseFusionFilter({
             "deep": SensorConfig(),

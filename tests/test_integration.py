@@ -61,6 +61,10 @@ def _make_world(seed=7):
 
 WORLD = _make_world()
 
+# terrain height (meters, uint8) served by the stub WMS DEM layer; a
+# one-element list so scenario modules can swap it per test
+_DEM_VALUE = [0]
+
 
 def _lonlat_to_wpx(lon, lat):
     return (lon - LEFT) / GSD_LON, (TOP - lat) / GSD_LAT
@@ -88,14 +92,26 @@ class _WorldWMS(BaseHTTPRequestHandler):
         left, bottom, right, top = (float(v) for v in q["bbox"].split(","))
         h, w = int(q["height"]), int(q["width"])
         if "dem" in q.get("layers", ""):
-            out = np.zeros((h, w), np.uint8)  # flat world
+            # flat world at _DEM_VALUE[0] meters (test_envelope.py raises it)
+            out = np.full((h, w), _DEM_VALUE[0], np.uint8)
         else:
             x0, y0 = _lonlat_to_wpx(left, top)
             x1, y1 = _lonlat_to_wpx(right, bottom)
             xi0, yi0 = max(int(x0), 0), max(int(y0), 0)
             xi1, yi1 = min(int(np.ceil(x1)), W_PX), min(int(np.ceil(y1)), W_PX)
             crop = WORLD[yi0:yi1, xi0:xi1]
-            out = cv2.resize(crop, (w, h), interpolation=cv2.INTER_AREA)
+            # paste the in-world crop at its TRUE location in the requested
+            # bbox; a bbox reaching outside the world gets gray padding, NOT
+            # a stretched crop (stretching silently skews the raster<->CRS
+            # affine and fabricates hundreds of meters of geolocation error
+            # at high altitudes where maps are large)
+            sx, sy = w / (x1 - x0), h / (y1 - y0)
+            u0, v0 = int(round((xi0 - x0) * sx)), int(round((yi0 - y0) * sy))
+            u1, v1 = int(round((xi1 - x0) * sx)), int(round((yi1 - y0) * sy))
+            out = np.full((h, w), 110, np.uint8)
+            if u1 > u0 and v1 > v0 and crop.size:
+                out[v0:v1, u0:u1] = cv2.resize(
+                    crop, (u1 - u0, v1 - v0), interpolation=cv2.INTER_AREA)
         ok, buf = cv2.imencode(".png", out)
         self.send_response(200)
         self.send_header("content-type", "image/png")
