@@ -60,6 +60,13 @@ class PoseNode(Node):
             min_matches=int(self.param("min_matches", 15)),
         )
         self._deep_runner = deep_runner
+        if self._deep_runner is None and self.param("backend") == "semidense":
+            from gisnav_tpu.pipeline.runners import make_semidense_runner
+
+            # detector-free LoFTR variant (no weight-file requirement;
+            # pass trained params via runner injection for best quality)
+            self._deep_runner = make_semidense_runner(
+                params=self.param("semidense_params", None))
         if self._deep_runner is None and self.param("backend") == "deep":
             try:
                 from gisnav_tpu.pipeline.runners import (

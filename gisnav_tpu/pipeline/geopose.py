@@ -45,7 +45,9 @@ __all__ = [
     "init_pipeline_params",
     "build_frame_to_geopose",
     "build_frame_to_geopose_cached",
+    "build_frame_to_geopose_semidense",
     "build_reference_extractor",
+    "init_semidense_params",
     "assemble_geopose",
 ]
 
@@ -306,6 +308,81 @@ def geopose_to_wgs84_f64(geopose: GeoPose, crs_affine_f64):
         "quat_ecef": matrix_to_quat(r_ecef),
         "r_enu_cam": r_enu @ r.T,
     }
+
+
+def init_semidense_params(key: jax.Array, config: PipelineConfig) -> dict:
+    """Initialize LoFTR parameters for the semi-dense pipeline variant."""
+    from gisnav_tpu.matching.loftr import LoFTR
+
+    h, w = config.image_shape
+    loftr = LoFTR(max_matches=config.max_keypoints)
+    img = jnp.zeros((h, w), jnp.float32)
+    return {"loftr": loftr.init(key, img, img)}
+
+
+def build_frame_to_geopose_semidense(config: PipelineConfig):
+    """Detector-free warp-mode variant: LoFTR replaces SuperPoint+LightGlue.
+
+    Same call signature as :func:`build_frame_to_geopose`. Semi-dense
+    coarse-to-fine matching trades keypoint repeatability for dense coarse
+    coverage — the stronger choice on low-texture terrain (fields, water
+    margins) where detector-based matching starves. Capability parity with
+    the reference's alternative matcher configurations
+    (``core/pose_node.py:88-122`` in hmakelin/gisnav selects the matcher
+    model); this variant is selected by ``PoseNode(backend="semidense")``.
+    """
+    from gisnav_tpu.matching.loftr import LoFTR
+
+    h, w = config.image_shape
+    loftr = LoFTR(max_matches=config.max_keypoints)
+
+    def fn(params, query, ortho, dem, rotation_deg, k, crs_affine, key
+           ) -> GeoPose:
+        stack = jnp.stack([ortho, dem], axis=-1)
+        warped, m_crop = rotate_and_crop_auto(stack, rotation_deg, (h, w))
+        ref_img = warped[:, :, 0]
+        dem_crop = warped[:, :, 1]
+
+        match = loftr.apply(params["loftr"], query, ref_img)
+        mkp_qry = match.kp0
+        mkp_ref = match.kp1
+        mvalid = match.mask
+        num_matches = jnp.sum(mvalid).astype(jnp.int32)
+
+        z_scale = crs_affine[2, 2]
+        dem_m = gather_elevation(dem_crop, mkp_ref)
+        obj = jnp.concatenate([mkp_ref, (dem_m / z_scale)[:, None]], axis=1)
+
+        pnp = ransac_pnp(
+            obj, mkp_qry, k, mvalid,
+            key=key,
+            num_hypotheses=config.num_hypotheses,
+            threshold_px=config.threshold_px,
+            min_inliers=config.min_matches,
+            refine_iters=config.refine_iters,
+        )
+
+        ecef, quat, lla, cam_pos = assemble_geopose(
+            pnp.r, pnp.t, m_crop, crs_affine
+        )
+        valid = pnp.valid & (num_matches >= config.min_matches)
+
+        return GeoPose(
+            ecef_position=ecef,
+            ecef_quat=quat,
+            lon_lat_alt=lla,
+            r_raster=pnp.r,
+            cam_pos_raster=cam_pos,
+            m_crop=m_crop,
+            num_matches=num_matches,
+            num_inliers=pnp.num_inliers,
+            valid=valid,
+            matched_qry=mkp_qry,
+            matched_ref=mkp_ref,
+            match_mask=mvalid & pnp.inliers,
+        )
+
+    return fn
 
 
 def build_reference_extractor(config: PipelineConfig):

@@ -28,7 +28,8 @@ from gisnav_tpu.pipeline.geopose import (
     build_reference_extractor,
 )
 
-__all__ = ["make_deep_runner", "make_cached_deep_runner", "PRETRAINED_CONFIG"]
+__all__ = ["make_deep_runner", "make_cached_deep_runner",
+           "make_semidense_runner", "PRETRAINED_CONFIG"]
 
 PRETRAINED_CONFIG = PipelineConfig(
     image_shape=(480, 640),
@@ -59,6 +60,53 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
 
         params = load_pretrained()
     fn = build_frame_to_geopose(config)
+    cache: Dict[Tuple[int, int], object] = {}
+    counter = {"n": 0}
+
+    def runner(query: np.ndarray, ortho: np.ndarray, dem: np.ndarray,
+               rotation_deg: float, k: np.ndarray,
+               crs_affine: np.ndarray, map_stamp=None) -> GeoPose:
+        shape = ortho.shape[:2]
+        if shape not in cache:
+            cache[shape] = jax.jit(fn)
+        counter["n"] += 1
+        return cache[shape](
+            params,
+            jnp.asarray(query, jnp.float32) / 255.0,
+            jnp.asarray(ortho, jnp.float32) / 255.0,
+            jnp.asarray(dem, jnp.float32),
+            jnp.float32(rotation_deg),
+            jnp.asarray(k, jnp.float32),
+            jnp.asarray(crs_affine, jnp.float32),
+            jax.random.PRNGKey(counter["n"]),
+        )
+
+    return runner
+
+
+def make_semidense_runner(params=None,
+                          config: Optional[PipelineConfig] = None,
+                          seed: int = 0):
+    """Build a PoseNode-compatible semi-dense (LoFTR) warp-mode runner.
+
+    Same call signature as :func:`make_deep_runner`. Detector-free: no
+    pretrained weight file requirement — pass trained ``{"loftr": ...}``
+    params or random init is used (matching quality then relies on the
+    coarse dual-softmax over backbone features; train via
+    ``matching/loftr.py`` docs).
+    """
+    import jax.random as jrandom
+
+    from gisnav_tpu.pipeline.geopose import (
+        build_frame_to_geopose_semidense,
+        init_semidense_params,
+    )
+
+    config = config or dataclasses.replace(
+        PRETRAINED_CONFIG, max_keypoints=1024)
+    if params is None:
+        params = init_semidense_params(jrandom.PRNGKey(seed), config)
+    fn = build_frame_to_geopose_semidense(config)
     cache: Dict[Tuple[int, int], object] = {}
     counter = {"n": 0}
 

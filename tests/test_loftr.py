@@ -73,3 +73,44 @@ class TestLoFTR:
         g = jax.grad(loss)(params)
         leaves = jax.tree.leaves(g)
         assert any(float(jnp.abs(leaf).max()) > 0 for leaf in leaves)
+
+
+class TestSemidensePipeline:
+    def test_frame_to_geopose_semidense_runs(self):
+        """The LoFTR pipeline variant compiles and returns a GeoPose with
+        finite fields on a tiny synthetic scene (random init: validity is
+        not asserted, only the program contract)."""
+        import dataclasses
+
+        from gisnav_tpu.geometry.crs import pixel_to_wgs84_affine
+        from gisnav_tpu.pipeline.geopose import (
+            PipelineConfig,
+            build_frame_to_geopose_semidense,
+            init_semidense_params,
+        )
+
+        cfg = PipelineConfig(image_shape=(96, 128), max_keypoints=64,
+                             min_matches=8)
+        params = init_semidense_params(jax.random.PRNGKey(0), cfg)
+        fn = jax.jit(build_frame_to_geopose_semidense(cfg))
+
+        rng = np.random.default_rng(0)
+        ortho = jnp.asarray(rng.uniform(0, 1, (256, 256)).astype(np.float32))
+        dem = jnp.zeros((256, 256), jnp.float32)
+        query = ortho[80:176, 64:192]
+        aff = jnp.asarray(pixel_to_wgs84_affine(
+            256, 256, 24.0, 60.0, 24.01, 60.005), jnp.float32)
+        k = jnp.asarray([[100.0, 0, 64.0], [0, 100.0, 48.0], [0, 0, 1.0]])
+        pose = fn(params, query, ortho, dem, jnp.float32(0.0), k, aff,
+                  jax.random.PRNGKey(1))
+        assert pose.matched_qry.shape == (64, 2)
+        assert np.isfinite(np.asarray(pose.lon_lat_alt)).all() or not bool(
+            pose.valid)
+        assert int(pose.num_matches) >= 0
+
+    def test_pose_node_semidense_backend(self):
+        from gisnav_tpu.nodes.bus import LocalBus
+        from gisnav_tpu.nodes.pose_node import PoseNode
+
+        node = PoseNode(LocalBus(), params={"backend": "semidense"})
+        assert node._deep_runner is not None
