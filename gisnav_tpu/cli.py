@@ -56,13 +56,23 @@ def _cmd_train(args) -> int:
     from gisnav_tpu.train.loop import train
     from gisnav_tpu.train.steps import TrainConfig
 
-    cfg = TrainConfig(
-        image_shape=tuple(args.image_shape),
-        max_keypoints=args.max_keypoints,
-        lightglue_depth=args.depth,
-        learning_rate=args.lr,
-        detector_mode=args.detector_mode,
-    )
+    if args.model == "loftr":
+        from gisnav_tpu.train.loftr_steps import LoFTRTrainConfig
+
+        cfg = LoFTRTrainConfig(
+            image_shape=tuple(args.image_shape),
+            max_matches=args.max_keypoints,
+            depth=args.depth,
+            learning_rate=args.lr,
+        )
+    else:
+        cfg = TrainConfig(
+            image_shape=tuple(args.image_shape),
+            max_keypoints=args.max_keypoints,
+            lightglue_depth=args.depth,
+            learning_rate=args.lr,
+            detector_mode=args.detector_mode,
+        )
     train(steps=args.steps, batch_size=args.batch, config=cfg,
           ckpt_dir=args.ckpt_dir)
     return 0
@@ -208,6 +218,8 @@ def main(argv=None) -> int:
     tr.add_argument("--lr", type=float, default=1e-4)
     tr.add_argument("--detector-mode", default="learned",
                     choices=("learned", "harris"))
+    tr.add_argument("--model", default="superpoint_lightglue",
+                    choices=("superpoint_lightglue", "loftr"))
     tr.add_argument("--ckpt-dir", default=None)
     tr.set_defaults(fn=_cmd_train)
 

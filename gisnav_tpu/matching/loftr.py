@@ -125,8 +125,8 @@ class LoFTR(nn.Module):
     window: int = 5  # fine window size (odd)
 
     @nn.compact
-    def __call__(self, image0: jnp.ndarray, image1: jnp.ndarray
-                 ) -> LoFTRMatches:
+    def __call__(self, image0: jnp.ndarray, image1: jnp.ndarray,
+                 return_scores: bool = False):
         h0, w0 = image0.shape
         h1, w1 = image1.shape
         backbone = _Backbone(name="backbone")
@@ -181,7 +181,12 @@ class LoFTR(nn.Module):
         # fine refinement at 1/2 resolution
         kp1 = self._refine(fine0, fine1, kp0, kp1c)
 
-        return LoFTRMatches(kp0=kp0, kp1=kp1, confidence=conf, mask=valid)
+        matches = LoFTRMatches(kp0=kp0, kp1=kp1, confidence=conf,
+                               mask=valid)
+        if return_scores:
+            # (N0, N1) dual-softmax assignment for training supervision
+            return matches, p
+        return matches
 
     def _refine(self, fine0, fine1, kp0, kp1c):
         """Correlate 5x5 fine windows; soft-argmax the offset in image 1."""

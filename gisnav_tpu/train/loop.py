@@ -49,31 +49,48 @@ def train(
             "jax_compilation_cache_dir", "/tmp/gisnav_tpu_jit_cache")
     except Exception:  # pragma: no cover - older jax
         pass
-    state, tx = init_train_state(jax.random.PRNGKey(seed), config)
+    is_loftr = type(config).__name__ == "LoFTRTrainConfig"
+    if is_loftr:
+        from gisnav_tpu.train.loftr_steps import init_loftr_train_state
+
+        state, tx = init_loftr_train_state(jax.random.PRNGKey(seed), config)
+    else:
+        state, tx = init_train_state(jax.random.PRNGKey(seed), config)
     t0 = time.time()
 
     if device_data:
-        from gisnav_tpu.train.steps import make_device_train_chunk
+        if is_loftr:
+            from gisnav_tpu.train.loftr_steps import (
+                make_loftr_device_train_chunk as _make_chunk,
+            )
+        else:
+            from gisnav_tpu.train.steps import (
+                make_device_train_chunk as _make_chunk,
+            )
 
         # fixed chunk size: it is baked into the scan length, so keeping it
         # constant lets the persistent jit cache hit across runs/configs
         chunk = 10
-        chunk_fn = jax.jit(make_device_train_chunk(
-            config, tx, batch_size, chunk=chunk))
+        chunk_fn = jax.jit(_make_chunk(config, tx, batch_size, chunk=chunk))
         key = jax.random.PRNGKey(seed + 1)
         done = 0
+        metric_key = "coarse_acc" if is_loftr else "gt_recall"
         while done < steps:
             key, sub = jax.random.split(key)
             state, metrics = chunk_fn(state, sub)
             done += chunk
             log.info(
-                "step %d loss %.4f gt_recall %.3f (%.2f steps/s)",
-                done, float(metrics["loss"]), float(metrics["gt_recall"]),
-                done / (time.time() - t0),
+                "step %d loss %.4f %s %.3f (%.2f steps/s)",
+                done, float(metrics["loss"]), metric_key,
+                float(metrics[metric_key]), done / (time.time() - t0),
             )
             if ckpt_dir and (done % ckpt_every < chunk or done >= steps):
                 save_params(ckpt_dir, done, state.params)
         return state.params
+    if is_loftr:
+        raise NotImplementedError(
+            "LoFTR training uses the on-device data path; pass "
+            "device_data=True (or run on an accelerator)")
 
     step_fn = jax.jit(make_train_step(config, tx))
     rng = np.random.default_rng(seed)

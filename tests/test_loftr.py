@@ -114,3 +114,31 @@ class TestSemidensePipeline:
 
         node = PoseNode(LocalBus(), params={"backend": "semidense"})
         assert node._deep_runner is not None
+
+
+class TestLoFTRTraining:
+    def test_coarse_gt_identity_and_shift(self):
+        from gisnav_tpu.train.loftr_steps import _coarse_gt
+
+        h, w = 32, 40  # 4x5 cells
+        idx, proj = _coarse_gt(jnp.eye(3), h, w)
+        # identity: every cell maps to itself
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(20))
+        # +8px x-shift: cells map one column right, last column outside
+        hom = jnp.eye(3).at[0, 2].set(8.0)
+        idx, _ = _coarse_gt(hom, h, w)
+        idx = np.asarray(idx).reshape(4, 5)
+        np.testing.assert_array_equal(idx[:, :4],
+                                      np.arange(20).reshape(4, 5)[:, 1:])
+        assert (idx[:, 4] == -1).all()
+
+    def test_train_config_roundtrip(self):
+        from gisnav_tpu.train.loftr_steps import (
+            LoFTRTrainConfig,
+            init_loftr_train_state,
+        )
+
+        cfg = LoFTRTrainConfig(image_shape=(32, 40), max_matches=16, depth=1)
+        state, tx = init_loftr_train_state(jax.random.PRNGKey(0), cfg)
+        assert "loftr" in state.params
+        assert int(state.step) == 0
