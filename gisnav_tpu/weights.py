@@ -24,7 +24,11 @@ import numpy as np
 __all__ = ["load_pretrained", "save_npz", "load_npz", "PRETRAINED_PATH"]
 
 PRETRAINED_PATH = os.path.join(
-    os.path.dirname(__file__), "..", "weights", "gisnav_tpu_harris_lg5.npz"
+    os.environ.get(
+        "GISNAV_TPU_WEIGHTS_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "weights"),
+    ),
+    "gisnav_tpu_harris_lg5.npz",
 )
 
 
