@@ -13,7 +13,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["simple_nms", "select_keypoints", "refine_subpixel"]
+__all__ = ["simple_nms", "select_keypoints", "select_keypoints_tiled",
+           "refine_subpixel"]
 
 
 def simple_nms(scores: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
@@ -131,6 +132,54 @@ def select_keypoints(
     valid = scores > score_threshold
     keypoints = refine_subpixel(heatmap, keypoints)
     return keypoints, scores, valid
+
+
+def select_keypoints_tiled(
+    heatmap: jnp.ndarray,
+    max_keypoints: int,
+    tiles: Tuple[int, int],
+    score_threshold: float = 0.0005,
+    border: int = 4,
+    nms_radius: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spatially uniform top-K: the keypoint budget is split evenly over a
+    ``tiles`` grid (per-tile top-k).
+
+    A GLOBAL top-K over a large reference raster concentrates the budget on
+    the globally strongest corners: measured on the synthetic world, a
+    camera FOV covering 8% of the map contained only 49 of 1024 global
+    top-K keypoints — starving cached-reference matching at low altitudes.
+    Per-tile budgets guarantee every FOV-sized region holds a proportional
+    share (weak-texture tiles may still fail ``score_threshold`` — their
+    slots are simply masked invalid).
+    """
+    ty, tx = tiles
+    h, w = heatmap.shape
+    th, tw = h // ty, w // tx
+    k_tile = max(1, max_keypoints // (ty * tx))
+    tiled = heatmap.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3)
+    tiled = tiled.reshape(ty * tx, th, tw)
+
+    def one(tile):
+        return select_keypoints(
+            tile, k_tile, score_threshold, border, nms_radius,
+            prefer_pallas=False,
+        )
+
+    kp, sc, valid = jax.vmap(one)(tiled)
+    # tile-local -> global pixel coordinates
+    tids = jnp.arange(ty * tx)
+    off_x = ((tids % tx) * tw).astype(jnp.float32)
+    off_y = ((tids // tx) * th).astype(jnp.float32)
+    kp = kp + jnp.stack([off_x, off_y], axis=1)[:, None, :]
+    n = ty * tx * k_tile
+    kp, sc, valid = kp.reshape(n, 2), sc.reshape(n), valid.reshape(n)
+    if n < max_keypoints:  # keep the configured static K (pad invalid)
+        pad = max_keypoints - n
+        kp = jnp.concatenate([kp, jnp.zeros((pad, 2), kp.dtype)])
+        sc = jnp.concatenate([sc, jnp.zeros((pad,), sc.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return kp, sc, valid
 
 
 def refine_subpixel(heatmap: jnp.ndarray, keypoints: jnp.ndarray,

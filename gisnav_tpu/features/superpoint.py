@@ -82,6 +82,9 @@ class SuperPoint(nn.Module):
     descriptor_dim: int = 256
     compute_dtype: jnp.dtype = jnp.bfloat16
     detector_mode: str = "learned"  # "learned" (SuperPoint head) | "harris"
+    select_tiles: tuple = (1, 1)  # (ty, tx) != (1,1): spatially uniform
+    # top-K — the budget splits evenly over a tile grid (reference-raster
+    # extraction; see features.nms.select_keypoints_tiled)
     conv_backend: str = "auto"  # "auto" (Pallas on TPU, per-image) |
     # "xla_batched": natively batched XLA convs for the whole trunk. Used by
     # training: the per-image Pallas trunk would be traced once per batch
@@ -194,14 +197,26 @@ class SuperPoint(nn.Module):
         )
 
         def select_and_sample(heat, dm):
-            keypoints, scores, valid = select_keypoints(
-                heat,
-                self.max_keypoints,
-                self.score_threshold,
-                self.border,
-                self.nms_radius,
-                prefer_pallas=self.conv_backend != "xla_batched",
-            )
+            if tuple(self.select_tiles) != (1, 1):
+                from gisnav_tpu.features.nms import select_keypoints_tiled
+
+                keypoints, scores, valid = select_keypoints_tiled(
+                    heat,
+                    self.max_keypoints,
+                    tuple(self.select_tiles),
+                    self.score_threshold,
+                    self.border,
+                    self.nms_radius,
+                )
+            else:
+                keypoints, scores, valid = select_keypoints(
+                    heat,
+                    self.max_keypoints,
+                    self.score_threshold,
+                    self.border,
+                    self.nms_radius,
+                    prefer_pallas=self.conv_backend != "xla_batched",
+                )
             descs = _sample_descriptors(keypoints, dm, stride=8)
             return SuperPointFeatures(
                 keypoints=keypoints, scores=scores, descriptors=descs,

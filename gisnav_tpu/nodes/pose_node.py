@@ -22,6 +22,7 @@ from gisnav_tpu.constants import (
     ROS_TOPIC_CAMERA_INFO,
     ROS_TOPIC_IMAGE,
     ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS,
+    ROS_TOPIC_MAVROS_GLOBAL_POSITION,
     ROS_TOPIC_RELATIVE_POSE,
 )
 from gisnav_tpu.geometry.crs import enu_to_ecef_matrix, proj_to_affine, wgs84_to_ecef
@@ -89,12 +90,20 @@ class PoseNode(Node):
                     "deep backend requested but %s; using classical", e
                 )
         self._runner_takes_map_stamp = False
+        self._runner_takes_altitude = False
+        self._runner_takes_prior = False
+        self._altitude_agl = None
+        self._prior_lonlat = None
         if self._deep_runner is not None:
             import inspect
 
             try:
                 sig = inspect.signature(self._deep_runner)
                 self._runner_takes_map_stamp = "map_stamp" in sig.parameters
+                self._runner_takes_altitude = (
+                    "altitude_agl" in sig.parameters)
+                self._runner_takes_prior = (
+                    "prior_lonlat" in sig.parameters)
             except (TypeError, ValueError):
                 pass
         self.subscribe(ROS_TOPIC_CAMERA_INFO, self._camera_info_cb)
@@ -102,12 +111,23 @@ class PoseNode(Node):
         self.subscribe(
             ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS, self._attitude_cb
         )
+        self.subscribe(ROS_TOPIC_MAVROS_GLOBAL_POSITION, self._nav_fix_cb)
         self.subscribe(ROS_TOPIC_IMAGE, self._image_cb)
 
     # -- inputs ------------------------------------------------------------
 
     def _camera_info_cb(self, msg):
         self._camera_info = msg
+
+    def _nav_fix_cb(self, msg):
+        # rough altitude drives cached-mode GSD matching (runner shrinks
+        # the query to the map raster's ground sample distance); rough
+        # lon/lat drives the position-prior candidate gate
+        self._altitude_agl = float(
+            msg.get("alt_ellipsoid", 0.0)
+        ) - float(self.param("ground_altitude_m", 0.0))
+        if "lon" in msg and "lat" in msg:
+            self._prior_lonlat = (float(msg["lon"]), float(msg["lat"]))
 
     def _orthoimage_cb(self, msg):
         self._ortho = msg
@@ -150,6 +170,10 @@ class PoseNode(Node):
             kw = {}
             if self._runner_takes_map_stamp:
                 kw["map_stamp"] = self._ortho.get("stamp_us")
+            if self._runner_takes_altitude:
+                kw["altitude_agl"] = self._altitude_agl
+            if self._runner_takes_prior:
+                kw["prior_lonlat"] = self._prior_lonlat
             geopose = self._deep_runner(
                 query, self._ortho["image"], self._ortho["dem"],
                 self._rotation_deg(), self._camera_info["k"], aff4, **kw,

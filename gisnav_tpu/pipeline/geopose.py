@@ -68,6 +68,8 @@ class PipelineConfig:
     score_threshold: float = 0.0005  # SuperPoint detector threshold
     detector_downsample: int = 1  # 2 = run SuperPoint at half resolution
     detector_mode: str = "learned"  # "learned" | "harris" (see SuperPoint)
+    ref_keypoint_factor: int = 2  # reference budget = max_keypoints * this
+    ref_tile_grid: Tuple[int, int] = (8, 8)  # uniform reference selection
     # (the official SuperPoint/LightGlue tooling resizes inputs to <=1024 px;
     # at flight altitudes the accuracy cost is small and the conv trunk cost
     # drops ~4x — the headline bench uses full resolution)
@@ -140,11 +142,16 @@ def build_frame_to_geopose(
     lg = LightGlue(depth=config.lightglue_depth,
                    filter_threshold=config.filter_threshold)
 
-    def fn(params, query, ortho, dem, rotation_deg, k, crs_affine, key
-           ) -> GeoPose:
-        # 1. reference raster: fused rotate + center crop (one gather)
+    def fn(params, query, ortho, dem, rotation_deg, k, crs_affine, key,
+           gsd_zoom=None) -> GeoPose:
+        # 1. reference raster: fused rotate + center crop (one gather).
+        # ``gsd_zoom`` (query_gsd / map_gsd, traced) additionally resamples
+        # the crop to the query camera's ground sample distance, removing
+        # the 1.5-2.5x scale gap the FOV-padded map sizing leaves at low
+        # altitude (the reference's stereo crop covers the FOV similarly)
         stack = jnp.stack([ortho, dem], axis=-1)
-        warped, m_crop = rotate_and_crop_auto(stack, rotation_deg, (h, w))
+        warped, m_crop = rotate_and_crop_auto(stack, rotation_deg, (h, w),
+                                              zoom=gsd_zoom)
         ref_img = warped[:, :, 0]
         dem_crop = warped[:, :, 1]
 
@@ -167,8 +174,11 @@ def build_frame_to_geopose(
         mkp_ref = f_ref.keypoints[ref_idx]
         num_matches = jnp.sum(mvalid).astype(jnp.int32)
 
-        # 4. DEM z-lift into the z-down pixel-unit raster frame
-        z_scale = crs_affine[2, 2]  # negative meters-per-"pixel"
+        # 4. DEM z-lift into the z-down pixel-unit raster frame (CROP px:
+        # a GSD-matched crop resamples, 1 crop px = |det m_crop|^0.5
+        # original px — keep x/y/z units consistent for PnP)
+        crop_scale = jnp.sqrt(jnp.abs(jnp.linalg.det(m_crop[:2, :2])))
+        z_scale = crs_affine[2, 2] * crop_scale  # negative m-per-crop-px
         dem_m = gather_elevation(dem_crop, mkp_ref)
         z_obj = dem_m / z_scale
         obj = jnp.concatenate([mkp_ref, z_obj[:, None]], axis=1)
@@ -222,10 +232,14 @@ def assemble_geopose(r, t, m_crop, crs_affine):
     """
     cam_pos = -r.T @ t  # camera center in cropped-raster frame
 
-    # CRS affine for the CROPPED frame: crs @ embed(cropped->original)
+    # CRS affine for the CROPPED frame: crs @ embed(cropped->original).
+    # The z row scales by the crop's isotropic pixel scale (GSD-matched
+    # crops resample: 1 crop px = zoom original px; the PnP camera z is in
+    # CROP pixel units and crs_affine's z codec is per ORIGINAL px)
+    crop_scale = jnp.sqrt(jnp.abs(jnp.linalg.det(m_crop[:2, :2])))
     embed = jnp.eye(4).at[:2, :2].set(m_crop[:2, :2]).at[:2, 3].set(
         m_crop[:2, 2]
-    )
+    ).at[2, 2].set(crop_scale)
     aff = crs_affine @ embed
     lla = aff @ jnp.concatenate([cam_pos, jnp.ones(1)])
     lon, lat, alt = lla[0], lla[1], lla[2]
@@ -274,6 +288,9 @@ def geopose_to_wgs84_f64(geopose: GeoPose, crs_affine_f64):
     embed = np.eye(4)
     embed[:2, :2] = m_crop[:2, :2]
     embed[:2, 3] = m_crop[:2, 2]
+    # crop px -> original px z scale (GSD-matched crops resample; see
+    # assemble_geopose)
+    embed[2, 2] = np.sqrt(abs(np.linalg.det(m_crop[:2, :2])))
     aff = aff @ embed
 
     lla = aff @ np.append(cam_pos, 1.0)
@@ -401,9 +418,14 @@ def build_reference_extractor(config: PipelineConfig):
     larger): ``max_keypoints * ref_keypoint_factor``.
     """
     sp = SuperPoint(
-        max_keypoints=config.max_keypoints * 2,
+        max_keypoints=config.max_keypoints * config.ref_keypoint_factor,
         score_threshold=config.score_threshold,
         detector_mode=config.detector_mode,
+        # uniform spatial budget: a camera FOV covers only ~5-20% of the
+        # FOV-padded map raster; a global top-K concentrates on globally
+        # strongest corners and can leave the FOV nearly empty (measured:
+        # 49/1024 in-FOV at 500 m AGL -> cached matching starves)
+        select_tiles=config.ref_tile_grid,
     )
 
     def extract(params, ortho: jnp.ndarray):
@@ -433,19 +455,43 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
 
     ds = config.detector_downsample
 
-    def fn(params, query, ref_feats, dem, k, crs_affine, key) -> GeoPose:
+    def fn(params, query, ref_feats, dem, k, crs_affine, key,
+           prior_xy=None, prior_radius=-1.0) -> GeoPose:
+        # GSD matching for cached-reference mode happens through
+        # ``detector_downsample``: the runner quantizes query_gsd/map_gsd
+        # to an integer mean-pool factor (a reshape — effectively free,
+        # unlike a full-res resampling gather which costs ~70 ms at 1080p
+        # on TPU) and compiles one program per altitude band. CNN
+        # descriptors bridge the <=1.4x residual scale gap; the measured
+        # cliff is at ~1.6x (10/58 correct matches vs 91/128 at 0.9x).
+        hq, wq = query.shape
         if ds > 1:
-            hq, wq = query.shape
             pooled = query.reshape(hq // ds, ds, wq // ds, ds).mean((1, 3))
             f_qry = sp.apply(params["superpoint"], pooled)
             f_qry = f_qry._replace(keypoints=f_qry.keypoints * ds)
         else:
             f_qry = sp.apply(params["superpoint"], query)
 
+        # position-prior gating: cached map features span an area 5-20x the
+        # FOV; restricting the candidate set to the predicted FOV
+        # neighborhood removes the distractor mass that otherwise drowns
+        # the matcher (the reference achieves the same implicitly by
+        # warping a FOV-sized crop, stereo_node.py:292-335). prior_radius
+        # <= 0 disables; traced scalars, no recompile per frame.
+        ref_mask = ref_feats.mask
+        if prior_xy is not None:
+            d2 = jnp.sum(
+                (ref_feats.keypoints
+                 - jnp.asarray(prior_xy, jnp.float32)[None]) ** 2,
+                axis=1,
+            )
+            r = jnp.asarray(prior_radius, jnp.float32)
+            ref_mask = ref_mask & ((r <= 0) | (d2 <= r * r))
+
         match = lg.apply(
             params["lightglue"],
             f_qry.keypoints, f_qry.descriptors, f_qry.mask, (h, w),
-            ref_feats.keypoints, ref_feats.descriptors, ref_feats.mask,
+            ref_feats.keypoints, ref_feats.descriptors, ref_mask,
             (oh, ow),
         )
         midx = match.matches0

@@ -31,6 +31,7 @@ from gisnav_tpu.pipeline.geopose import (
 __all__ = ["make_deep_runner", "make_cached_deep_runner",
            "make_semidense_runner", "PRETRAINED_CONFIG"]
 
+
 PRETRAINED_CONFIG = PipelineConfig(
     image_shape=(480, 640),
     max_keypoints=512,
@@ -65,11 +66,20 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
 
     def runner(query: np.ndarray, ortho: np.ndarray, dem: np.ndarray,
                rotation_deg: float, k: np.ndarray,
-               crs_affine: np.ndarray, map_stamp=None) -> GeoPose:
+               crs_affine: np.ndarray, map_stamp=None,
+               altitude_agl=None) -> GeoPose:
         shape = ortho.shape[:2]
         if shape not in cache:
             cache[shape] = jax.jit(fn)
         counter["n"] += 1
+        # GSD-matched crop: resample the rotated map crop to the camera's
+        # ground sample distance (zoom = query_gsd / map_gsd); 1.0 when
+        # altitude is unknown
+        zoom = 1.0
+        map_gsd = float(abs(np.asarray(crs_affine)[2, 2]))
+        if altitude_agl is not None and altitude_agl > 0 and map_gsd > 0:
+            zoom = (float(altitude_agl) / float(np.asarray(k)[0, 0])
+                    ) / map_gsd
         return cache[shape](
             params,
             jnp.asarray(query, jnp.float32) / 255.0,
@@ -79,6 +89,7 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
             jnp.asarray(k, jnp.float32),
             jnp.asarray(crs_affine, jnp.float32),
             jax.random.PRNGKey(counter["n"]),
+            jnp.float32(zoom),
         )
 
     return runner
@@ -162,15 +173,15 @@ def make_cached_deep_runner(params=None,
 
     def runner(query: np.ndarray, ortho: np.ndarray, dem: np.ndarray,
                rotation_deg: float, k: np.ndarray,
-               crs_affine: np.ndarray, map_stamp=None) -> GeoPose:
+               crs_affine: np.ndarray, map_stamp=None,
+               altitude_agl=None, prior_lonlat=None) -> GeoPose:
         shape = tuple(ortho.shape[:2])
         map_key = (shape,
                    int(map_stamp) if map_stamp is not None else id(ortho))
         if state["map_key"] != map_key:
-            if shape not in frame_jit:
+            if shape not in extract_jit:
                 cfg = dataclasses.replace(config, ortho_shape=shape)
                 extract_jit[shape] = jax.jit(build_reference_extractor(cfg))
-                frame_jit[shape] = jax.jit(build_frame_to_geopose_cached(cfg))
             state["ref_feats"] = extract_jit[shape](
                 params, jnp.asarray(ortho, jnp.float32) / 255.0
             )
@@ -179,7 +190,52 @@ def make_cached_deep_runner(params=None,
             stats["map_extractions"] += 1
         state["n"] += 1
         stats["frames"] += 1
-        return frame_jit[shape](
+        # GSD match: pool the query toward the map's ground sample
+        # distance (|crs_affine[2,2]| is the raster's meters-per-pixel z
+        # codec scale; query GSD for a nadir camera is AGL / focal-px)
+        aff = np.asarray(crs_affine, np.float64)
+        map_gsd = float(abs(aff[2, 2]))
+        gsd_scale = 1.0
+        if altitude_agl is not None and altitude_agl > 0 and map_gsd > 0:
+            query_gsd = float(altitude_agl) / float(np.asarray(k)[0, 0])
+            gsd_scale = query_gsd / map_gsd
+        # quantize to an integer mean-pool factor: one compiled program
+        # per altitude band (the pool is a reshape; a traced full-res
+        # resample gather costs ~70 ms at 1080p on TPU). Residual scale
+        # gap stays <= ~1.4x, within the descriptors' working range
+        # (measured cliff at ~1.6x: 10/58 correct matches vs 91/128).
+        hq0, wq0 = query.shape[:2]
+        ds = 1
+        for cand in (4, 2):
+            if (gsd_scale < 0.7 / cand * 2 and hq0 % cand == 0
+                    and wq0 % cand == 0):
+                ds = cand
+                break
+        jit_key = (shape, ds)
+        if jit_key not in frame_jit:
+            cfg = dataclasses.replace(config, ortho_shape=shape,
+                                      detector_downsample=ds)
+            frame_jit[jit_key] = jax.jit(build_frame_to_geopose_cached(cfg))
+        # position-prior gate: rough lon/lat -> map px center; radius =
+        # FOV diagonal at the current altitude (x1.5 margin) in map px
+        prior_xy = np.zeros(2, np.float32)
+        prior_radius = -1.0
+        if prior_lonlat is not None and altitude_agl is not None \
+                and altitude_agl > 0 and map_gsd > 0:
+            a2 = aff[:2, :2]
+            b2 = aff[:2, 3]
+            try:
+                prior_xy = np.linalg.solve(
+                    a2, np.asarray(prior_lonlat, np.float64) - b2
+                ).astype(np.float32)
+                hq, wq = query.shape[:2]
+                diag_px = float(np.hypot(hq, wq))
+                fov_diag_m = altitude_agl * diag_px / float(
+                    np.asarray(k)[0, 0])
+                prior_radius = 0.75 * fov_diag_m / map_gsd * 1.5
+            except np.linalg.LinAlgError:
+                pass
+        return frame_jit[jit_key](
             params,
             jnp.asarray(query, jnp.float32) / 255.0,
             state["ref_feats"],
@@ -187,6 +243,8 @@ def make_cached_deep_runner(params=None,
             jnp.asarray(k, jnp.float32),
             jnp.asarray(crs_affine, jnp.float32),
             jax.random.PRNGKey(state["n"]),
+            jnp.asarray(prior_xy),
+            jnp.float32(prior_radius),
         )
 
     runner.stats = stats

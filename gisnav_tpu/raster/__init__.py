@@ -10,12 +10,16 @@ from gisnav_tpu.raster.warp import (  # noqa: F401
 )
 
 
-def rotate_and_crop_auto(stack, angle_deg, crop_shape):
+def rotate_and_crop_auto(stack, angle_deg, crop_shape, zoom=None):
     """Pick the fastest correct rotate+crop for the current backend: the
     Pallas 3-shear path on TPU for square rasters (~68x faster than the XLA
-    gather warp), the exact bilinear gather elsewhere."""
+    gather warp), the exact bilinear gather elsewhere. ``zoom`` (GSD-matched
+    resampling) forces the gather path (the 3-shear kernel is
+    rotation-only); the crop-sized gather is cheap."""
     import jax
 
+    if zoom is not None:
+        return rotate_and_crop_center(stack, angle_deg, crop_shape, zoom)
     if (
         jax.default_backend() not in ("cpu",)
         and stack.shape[0] == stack.shape[1]

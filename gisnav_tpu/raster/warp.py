@@ -99,6 +99,7 @@ def rotate_and_crop_center(
     stack: jnp.ndarray,
     angle_deg: float | jnp.ndarray,
     crop_shape: Tuple[int, int],
+    zoom: float | jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, np.ndarray | jnp.ndarray]:
     """Rotate an image stack about its center and center-crop, in ONE gather.
 
@@ -121,6 +122,29 @@ def rotate_and_crop_center(
 
     a = jnp.radians(angle_deg)
     c, s = jnp.cos(a), jnp.sin(a)
+    if zoom is not None:
+        # GSD-matched crop: the (ch, cw) output samples a (ch*zoom,
+        # cw*zoom) centered window of the rotated raster, i.e. the map
+        # resamples to the query camera's ground sample distance (zoom =
+        # query_gsd / map_gsd; < 1 upsamples the map). The returned affine
+        # keeps the crop->original contract, so CRS rewriting and PnP work
+        # unchanged.
+        z = jnp.asarray(zoom, jnp.float32)
+        shift_scale = jnp.array(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+        shift_scale = shift_scale.at[0, 0].set(z).at[1, 1].set(z)
+        shift_scale = shift_scale.at[0, 2].set(cx - z * (cw / 2.0))
+        shift_scale = shift_scale.at[1, 2].set(cy - z * (ch / 2.0))
+        inv_rot = jnp.array(
+            [
+                [c, -s, cx - c * cx + s * cy],
+                [s, c, cy - s * cx - c * cy],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        cropped_to_original = inv_rot @ shift_scale
+        out = warp_affine(stack, cropped_to_original, (ch, cw))
+        return out, cropped_to_original
     # forward (original -> rotated) rotation about center, y-down frame
     fwd = jnp.array(
         [
