@@ -16,7 +16,7 @@ from gisnav_tpu.nodes import GisNavApp
 from gisnav_tpu.nodes.mock_gps import TOPIC_SENSOR_GPS
 
 
-def _fly(wms_url, profile, ground_alt_m=0.0, dem_value=0):
+def _fly(wms_url, profile, ground_alt_m=0.0, dem_value=0, pose_params=None):
     """Run the full graph over ``profile`` = [(lon, lat, alt_ellipsoid_m,
     yaw_deg), ...]; returns (fixes, truth_by_stamp)."""
     from gisnav_tpu.gis import WMSClient
@@ -32,6 +32,9 @@ def _fly(wms_url, profile, ground_alt_m=0.0, dem_value=0):
                 },
                 "twist_node": {"ground_altitude_m": ground_alt_m},
                 "bbox_node": {"ground_altitude_m": ground_alt_m},
+                "pose_node": dict(
+                    {"ground_altitude_m": ground_alt_m},
+                    **(pose_params or {})),
             },
             wms_client=WMSClient(wms_url),
             protocol="uorb",
@@ -118,6 +121,21 @@ class TestEnvelope:
         ]
         fixes, truth = _fly(wms_url, profile, ground_alt_m=80.0,
                             dem_value=80)
+        _gate(fixes, truth, n_min=3)
+
+    def test_deep_backend_full_graph(self, wms_url):
+        """Full node graph with PoseNode(backend='deep', warp mode) and the
+        bundled in-framework weights: the SAME 10 m per-fix gate the
+        classical path passes (VERDICT round-1 item 5). The node graph
+        feeds altitude + position prior to the runner automatically."""
+        lat0, lon0 = 60.02, 24.03
+        profile = [
+            (_east(lon0, 10.0 * i), lat0, ti.ALT_M, 15.0) for i in range(16)
+        ]
+        fixes, truth = _fly(
+            wms_url, profile,
+            pose_params={"backend": "deep", "deep_mode": "warp"},
+        )
         _gate(fixes, truth, n_min=3)
 
     def test_error_vs_altitude_envelope(self, wms_url):
