@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from gisnav_tpu.raster.warp import warp_affine
 
-__all__ = ["device_batch"]
+__all__ = ["device_batch", "device_batch_asymmetric"]
 
 
 def _texture(key, shape: Tuple[int, int]) -> jnp.ndarray:
@@ -121,6 +121,71 @@ def device_batch(key, batch: int, shape: Tuple[int, int],
         noise = 0.02 * jax.random.normal(kn, shape)
         img1 = jnp.clip(img1 * gain + bias + noise, 0.0, 1.0)
         return img0, img1, a
+
+    keys = jax.random.split(key, batch)
+    return jax.vmap(one)(keys)
+
+
+def device_batch_asymmetric(key, batch: int,
+                            q_shape: Tuple[int, int] = (256, 320),
+                            r_shape: Tuple[int, int] = (576, 640),
+                            max_angle_deg: float = 180.0,
+                            scale_lo: float = 0.6, scale_hi: float = 1.4,
+                            max_blur_sigma: float = 1.2):
+    """Cached-reference deployment regime: (query, reference, transform).
+
+    The reference is a LARGE north-up raster; the query is a small rotated
+    view whose content covers only a fraction of it (the regime
+    ``build_frame_to_geopose_cached`` matches in: most reference keypoints
+    have no partner, most query keypoints map into a small reference
+    region). ``transform`` maps query px -> reference px; scale is
+    log-uniform in [scale_lo, scale_hi] (reference px per query px — the
+    residual GSD gap left after the runner's integer pooling).
+    """
+    hq, wq = q_shape
+    hr, wr = r_shape
+
+    def one(k):
+        k_tex, k_aff, k_pho, k_blur = jax.random.split(k, 4)
+        ref = _texture(k_tex, r_shape)
+        ka, ks, kx, ky = jax.random.split(k_aff, 4)
+        ang = jnp.radians(jax.random.uniform(
+            ka, (), minval=-max_angle_deg, maxval=max_angle_deg))
+        log_s = jax.random.uniform(
+            ks, (), minval=jnp.log(scale_lo), maxval=jnp.log(scale_hi))
+        s = jnp.exp(log_s)
+        # keep the query footprint inside the reference (worst case: the
+        # rotated footprint's half-diagonal at the largest scale)
+        half_diag = 0.5 * s * jnp.sqrt(jnp.float32(hq * hq + wq * wq))
+        cx = jax.random.uniform(kx, (), minval=half_diag,
+                                maxval=wr - half_diag)
+        cy = jax.random.uniform(ky, (), minval=half_diag,
+                                maxval=hr - half_diag)
+        c, si = jnp.cos(ang) * s, jnp.sin(ang) * s
+        cqx, cqy = wq / 2.0, hq / 2.0
+        # query px -> reference px (rotate+scale about query center, then
+        # place at (cx, cy))
+        a = jnp.array(
+            [
+                [c, -si, 0.0],
+                [si, c, 0.0],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        a = a.at[0, 2].set(cx - c * cqx + si * cqy)
+        a = a.at[1, 2].set(cy - si * cqx - c * cqy)
+        query = warp_affine(ref[..., None], a, q_shape)[..., 0]
+        kb0, kb1 = jax.random.split(k_blur)
+        s0 = jax.random.uniform(kb0, (), minval=0.0, maxval=max_blur_sigma)
+        s1 = jax.random.uniform(kb1, (), minval=0.0, maxval=max_blur_sigma)
+        query = _gaussian_blur(query, s0)
+        ref_b = _gaussian_blur(ref, s1)
+        kg, kb, kn = jax.random.split(k_pho, 3)
+        gain = 1.0 + jax.random.uniform(kg, (), minval=-0.3, maxval=0.3)
+        bias = jax.random.uniform(kb, (), minval=-0.15, maxval=0.15)
+        noise = 0.02 * jax.random.normal(kn, q_shape)
+        query = jnp.clip(query * gain + bias + noise, 0.0, 1.0)
+        return query, ref_b, a
 
     keys = jax.random.split(key, batch)
     return jax.vmap(one)(keys)

@@ -184,6 +184,115 @@ def make_train_step(config: TrainConfig, tx: optax.GradientTransformation
     return train_step
 
 
+@dataclasses.dataclass(frozen=True)
+class CachedRegimeConfig:
+    """Asymmetric (cached-reference deployment regime) fine-tune config.
+
+    Matches what ``build_frame_to_geopose_cached`` sees at inference: a
+    small rotated query against a LARGE north-up reference raster with a
+    spatially uniform (tiled) keypoint budget, where most keypoints on
+    both sides are unmatched. Symmetric-pair training alone leaves the
+    matcher weak in this regime (measured: 7/10 valid poses on the
+    synthetic sweep vs 10/10 for the scale/rotation-aligned warp mode).
+    """
+
+    q_shape: Tuple[int, int] = (256, 320)
+    r_shape: Tuple[int, int] = (576, 640)
+    q_keypoints: int = 256
+    r_keypoints: int = 512
+    r_tile_grid: Tuple[int, int] = (4, 4)
+    lightglue_depth: int = 5
+    learning_rate: float = 5e-5  # fine-tune from the symmetric checkpoint
+    weight_decay: float = 1e-5
+    gt_radius_px: float = 4.0  # in reference px (coarser than the query)
+    detector_mode: str = "harris"
+    curriculum_steps: int = 1000  # angle/blur ramp (scale stays asymmetric)
+
+
+def make_cached_regime_train_step(config: CachedRegimeConfig,
+                                  tx: optax.GradientTransformation
+                                  ) -> Callable:
+    """Asymmetric train step: query and reference go through SEPARATE
+    extractor configs (global top-k vs tiled budget, different shapes),
+    then the standard matcher NLL against the known query->ref transform."""
+    hq, wq = config.q_shape
+    hr, wr = config.r_shape
+    sp_q = SuperPoint(max_keypoints=config.q_keypoints,
+                      detector_mode=config.detector_mode,
+                      conv_backend="xla_batched")
+    sp_r = SuperPoint(max_keypoints=config.r_keypoints,
+                      detector_mode=config.detector_mode,
+                      select_tiles=config.r_tile_grid,
+                      conv_backend="xla_batched")
+    lg = LightGlue(depth=config.lightglue_depth, filter_threshold=0.0)
+
+    def loss_fn(params, query, ref, transform):
+        fq = sp_q.apply(params["superpoint"], query)
+        fr = sp_r.apply(params["superpoint"], ref)
+
+        def per_pair(f0, f1, hom):
+            res = lg.apply(
+                params["lightglue"],
+                f0.keypoints, f0.descriptors, f0.mask, (hq, wq),
+                f1.keypoints, f1.descriptors, f1.mask, (hr, wr),
+            )
+            gt = _ground_truth_assignment(
+                f0.keypoints, f0.mask, f1.keypoints, f1.mask, hom,
+                config.gt_radius_px,
+            )
+            loss = matcher_loss(res.scores, gt, f0.mask)
+            hit = (res.matches0 == gt) & (gt >= 0)
+            recall = jnp.sum(hit) / jnp.maximum(jnp.sum(gt >= 0), 1)
+            return loss, recall
+
+        losses, recalls = jax.vmap(per_pair)(fq, fr, transform)
+        return jnp.mean(losses), jnp.mean(recalls)
+
+    def train_step(state: TrainState, query, ref, transform):
+        (loss, recall), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, query, ref, transform
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), {
+            "loss": loss, "gt_recall": recall}
+
+    return train_step
+
+
+def make_cached_regime_chunk(config: CachedRegimeConfig,
+                             tx: optax.GradientTransformation,
+                             batch_size: int, chunk: int = 10) -> Callable:
+    """Scanned on-device chunk for the asymmetric fine-tune."""
+    from gisnav_tpu.train.device_data import device_batch_asymmetric
+
+    step_fn = make_cached_regime_train_step(config, tx)
+
+    def chunk_fn(state: TrainState, key):
+        def body(st, k):
+            if config.curriculum_steps > 0:
+                d = jnp.clip(
+                    st.step.astype(jnp.float32) / config.curriculum_steps,
+                    0.0, 1.0,
+                )
+            else:
+                d = jnp.float32(1.0)
+            q, r, hom = device_batch_asymmetric(
+                k, batch_size, config.q_shape, config.r_shape,
+                max_angle_deg=30.0 + 150.0 * d,
+                max_blur_sigma=1.2 * d,
+            )
+            st, metrics = step_fn(st, q, r, hom)
+            return st, metrics
+
+        keys = jax.random.split(key, chunk)
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return chunk_fn
+
+
 def make_device_train_chunk(config: TrainConfig,
                             tx: optax.GradientTransformation,
                             batch_size: int, chunk: int = 20) -> Callable:

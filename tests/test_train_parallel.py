@@ -138,3 +138,54 @@ class TestCheckpoint:
         a = jax.tree.leaves(state.params)
         b = jax.tree.leaves(restored)
         assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+class TestAsymmetricRegime:
+    def test_device_batch_asymmetric_geometry(self):
+        """Query content must land inside the reference through the GT
+        transform (the cached-deployment training regime)."""
+        from gisnav_tpu.train.device_data import device_batch_asymmetric
+
+        q, r, hom = jax.jit(
+            lambda k: device_batch_asymmetric(
+                k, 2, q_shape=(64, 80), r_shape=(144, 160),
+                max_angle_deg=90.0, scale_lo=0.8, scale_hi=1.2,
+                max_blur_sigma=0.0)
+        )(jax.random.PRNGKey(0))
+        assert q.shape == (2, 64, 80) and r.shape == (2, 144, 160)
+        corners = np.array([[0, 0, 1], [79, 0, 1], [0, 63, 1], [79, 63, 1]],
+                           np.float64)
+        for i in range(2):
+            proj = corners @ np.asarray(hom[i]).T
+            xy = proj[:, :2] / proj[:, 2:3]
+            assert (xy[:, 0] >= -1).all() and (xy[:, 0] <= 160).all(), xy
+            assert (xy[:, 1] >= -1).all() and (xy[:, 1] <= 144).all(), xy
+
+    def test_cached_regime_step_builds(self):
+        import dataclasses
+
+        import optax
+
+        from gisnav_tpu.train.steps import (
+            CachedRegimeConfig,
+            make_cached_regime_train_step,
+        )
+
+        cfg = CachedRegimeConfig(
+            q_shape=(64, 80), r_shape=(144, 160), q_keypoints=32,
+            r_keypoints=64, r_tile_grid=(2, 2), lightglue_depth=1)
+        # params come from the standard init (same architecture)
+        from gisnav_tpu.train.steps import TrainConfig, init_train_state
+
+        tcfg = TrainConfig(image_shape=(64, 80), max_keypoints=32,
+                           lightglue_depth=1, detector_mode="harris")
+        state, tx = init_train_state(jax.random.PRNGKey(0), tcfg)
+        step = jax.jit(make_cached_regime_train_step(cfg, tx))
+        from gisnav_tpu.train.device_data import device_batch_asymmetric
+
+        q, r, hom = device_batch_asymmetric(
+            jax.random.PRNGKey(1), 2, q_shape=(64, 80),
+            r_shape=(144, 160), scale_lo=0.8, scale_hi=1.2)
+        state, m = step(state, q, r, hom)
+        assert np.isfinite(float(m["loss"]))
+        assert int(state.step) == 1
