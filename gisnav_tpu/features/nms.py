@@ -59,6 +59,10 @@ def select_keypoints(
     h, w = heatmap.shape
 
     use_pallas = False
+    # the kernel needs h % 32 == 0; other heights (1080p!) run on a
+    # zero-padded copy — padded rows score 0 and are never selected, and
+    # the true bottom border is re-suppressed explicitly below
+    hpad = ((h + 31) // 32) * 32
     if prefer_pallas and jax.default_backend() not in ("cpu",):
         import os
 
@@ -69,16 +73,22 @@ def select_keypoints(
 
         use_pallas = not os.environ.get(
             "GISNAV_TPU_FORCE_XLA_NMS"
-        ) and nms_cellmax_supported(h, w, nms_radius, block, border) and (
+        ) and nms_cellmax_supported(hpad, w, nms_radius, block, border) and (
             (h // block) * (w // block) >= max_keypoints
-        )
+        ) and h % block == 0
 
     if use_pallas:
         # fused single-pass kernel; the NMS survivor of a cell is also the
         # cell's raw-heatmap argmax (its 9x9 window covers the 4x4 cell),
         # so per-cell positions come from a post-top-k gather
         hb, wb = h // block, w // block
-        cell_max = nms_cellmax_pallas(heatmap, border)  # (hb, wb)
+        if hpad != h:
+            ys_b = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            src = jnp.where(ys_b < h - border, heatmap, 0.0)
+            padded = jnp.zeros((hpad, w), heatmap.dtype).at[:h].set(src)
+            cell_max = nms_cellmax_pallas(padded, border)[:hb]
+        else:
+            cell_max = nms_cellmax_pallas(heatmap, border)  # (hb, wb)
         scores, cell_idx = _top_k(cell_max.reshape(-1), max_keypoints)
         cy0 = (cell_idx // wb) * block
         cx0 = (cell_idx % wb) * block
