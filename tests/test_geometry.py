@@ -331,3 +331,57 @@ class TestJaxOps:
         want = Rotation.from_matrix(ms).as_quat()
         for q, w in zip(np.asarray(qs), want):
             assert np.allclose(q, w, atol=1e-6) or np.allclose(q, -w, atol=1e-6)
+
+
+class TestCRSPropertyRoundtrips:
+    """Property-style round-trip checks over randomized inputs (PLAN item:
+    hypothesis-like coverage without the dependency)."""
+
+    def test_wgs84_ecef_roundtrip_random(self):
+        from gisnav_tpu.geometry.crs import ecef_to_wgs84, wgs84_to_ecef
+
+        rng = np.random.default_rng(42)
+        for _ in range(200):
+            lon = float(rng.uniform(-180, 180))
+            lat = float(rng.uniform(-89.9, 89.9))
+            alt = float(rng.uniform(-400, 40000))
+            x, y, z = wgs84_to_ecef(lon, lat, alt)
+            lon2, lat2, alt2 = ecef_to_wgs84(x, y, z)
+            assert abs(lon - lon2) < 1e-9 or abs(abs(lon) - 180) < 1e-6
+            assert abs(lat - lat2) < 1e-9
+            assert abs(alt - alt2) < 1e-6
+
+    def test_quat_matrix_roundtrip_random(self):
+        from gisnav_tpu.geometry.quaternion import (
+            matrix_to_quat,
+            quat_to_matrix,
+        )
+
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            q = rng.normal(size=4)
+            q = q / np.linalg.norm(q)
+            q2 = matrix_to_quat(quat_to_matrix(q))
+            # q and -q are the same rotation
+            assert (np.allclose(q, q2, atol=1e-6)
+                    or np.allclose(q, -q2, atol=1e-6))
+
+    def test_pixel_affine_corners_random(self):
+        from gisnav_tpu.geometry.crs import pixel_to_wgs84_affine
+
+        rng = np.random.default_rng(3)
+        for _ in range(50):
+            h, w = int(rng.integers(64, 4096)), int(rng.integers(64, 4096))
+            left, right = sorted(rng.uniform(-179, 179, 2))
+            bottom, top = sorted(rng.uniform(-85, 85, 2))
+            if right - left < 1e-6 or top - bottom < 1e-6:
+                continue
+            aff = pixel_to_wgs84_affine(h, w, left, bottom, right, top)
+            # top-left pixel center maps into the bbox near (left, top)
+            tl = aff @ np.array([0.0, 0.0, 0.0, 1.0])
+            br = aff @ np.array([w - 1.0, h - 1.0, 0.0, 1.0])
+            assert left <= tl[0] <= right and bottom <= tl[1] <= top
+            assert abs(tl[0] - left) < (right - left) / w * 2
+            assert abs(tl[1] - top) < (top - bottom) / h * 2
+            assert abs(br[0] - right) < (right - left) / w * 2
+            assert abs(br[1] - bottom) < (top - bottom) / h * 2
