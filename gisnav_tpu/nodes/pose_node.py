@@ -76,15 +76,24 @@ class PoseNode(Node):
                     make_deep_runner,
                 )
 
+                from gisnav_tpu.pipeline.runners import load_bundled
+
+                # weights: "harris_lg5" (default; strongest in cached
+                # mode) or "learned_lg9" (headline architecture; strongest
+                # in warp mode)
+                wparams, wconfig = load_bundled(
+                    self.param("weights", "harris_lg5"))
                 # production default: cached-reference mode — map features
                 # extracted once per map refresh, HBM-resident between
                 # refreshes (the path bench.py measures); "warp" re-runs the
                 # extractor on a rotated crop per frame (StereoNode parity)
                 if self.param("deep_mode", "cached") == "warp":
-                    self._deep_runner = make_deep_runner()
+                    self._deep_runner = make_deep_runner(
+                        params=wparams, config=wconfig)
                 else:
-                    self._deep_runner = make_cached_deep_runner()
-                self._config = PRETRAINED_CONFIG
+                    self._deep_runner = make_cached_deep_runner(
+                        params=wparams, config=wconfig)
+                self._config = wconfig
             except FileNotFoundError as e:
                 self.log.warning(
                     "deep backend requested but %s; using classical", e

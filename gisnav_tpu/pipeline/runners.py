@@ -41,6 +41,29 @@ PRETRAINED_CONFIG = PipelineConfig(
 )
 """Config matching the bundled ``weights/gisnav_tpu_harris_lg5.npz``."""
 
+LEARNED_LG9_CONFIG = dataclasses.replace(
+    PRETRAINED_CONFIG, detector_mode="learned", lightglue_depth=9,
+)
+"""Config for ``weights/gisnav_tpu_learned_lg9.npz`` (learned SuperPoint
+detector + 9-layer LightGlue — the headline-bench architecture). Strongest
+in WARP mode (10/10 on the accuracy sweep, mean 4.1 m, ~2x the inliers of
+harris_lg5); prefer ``PRETRAINED_CONFIG``/harris_lg5 for cached mode."""
+
+
+def load_bundled(name: str = "harris_lg5"):
+    """Load a bundled weight set by name -> (params, PipelineConfig)."""
+    from gisnav_tpu.weights import (
+        LEARNED_LG9_PATH,
+        PRETRAINED_PATH,
+        load_pretrained,
+    )
+
+    if name == "learned_lg9":
+        return load_pretrained(LEARNED_LG9_PATH), LEARNED_LG9_CONFIG
+    if name == "harris_lg5":
+        return load_pretrained(PRETRAINED_PATH), PRETRAINED_CONFIG
+    raise ValueError(f"unknown bundled weights {name!r}")
+
 
 def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
     """Build a PoseNode-compatible WARP-MODE deep runner.

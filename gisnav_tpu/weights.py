@@ -21,15 +21,20 @@ from typing import Any, Optional
 
 import numpy as np
 
-__all__ = ["load_pretrained", "save_npz", "load_npz", "PRETRAINED_PATH"]
+__all__ = ["load_pretrained", "save_npz", "load_npz", "PRETRAINED_PATH",
+           "LEARNED_LG9_PATH"]
 
-PRETRAINED_PATH = os.path.join(
-    os.environ.get(
-        "GISNAV_TPU_WEIGHTS_DIR",
-        os.path.join(os.path.dirname(__file__), "..", "weights"),
-    ),
-    "gisnav_tpu_harris_lg5.npz",
+WEIGHTS_DIR = os.environ.get(
+    "GISNAV_TPU_WEIGHTS_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "weights"),
 )
+PRETRAINED_PATH = os.path.join(WEIGHTS_DIR, "gisnav_tpu_harris_lg5.npz")
+# secondary bundle: learned SuperPoint detector + 9-layer LightGlue (the
+# headline-bench architecture). Trained with the Harris-distillation
+# detector loss + matcher NLL, asymmetric fine-tune. Best used in WARP
+# mode (10/10 on the accuracy sweep, mean 4.1 m, ~2x the inliers of
+# harris_lg5); in cached mode harris_lg5 is stronger (10/10 vs 8/10).
+LEARNED_LG9_PATH = os.path.join(WEIGHTS_DIR, "gisnav_tpu_learned_lg9.npz")
 
 
 def save_npz(path: str, params: Any) -> None:

@@ -110,3 +110,29 @@ class TestPoseNodeCachedBackend:
         bus.publish(TOPIC_ORTHOIMAGE, msg2)
         node.estimate({"stamp_us": 3_000_000, "image": query})
         assert runner.stats["map_extractions"] == 2
+
+
+class TestBundledWeightSets:
+    def test_load_bundled_both(self):
+        from gisnav_tpu.pipeline.runners import (
+            LEARNED_LG9_CONFIG,
+            PRETRAINED_CONFIG,
+            load_bundled,
+        )
+
+        p1, c1 = load_bundled("harris_lg5")
+        assert c1 is PRETRAINED_CONFIG and "lightglue" in p1
+        p2, c2 = load_bundled("learned_lg9")
+        assert c2 is LEARNED_LG9_CONFIG
+        # learned head present only in the lg9 bundle
+        assert "convPa" in str(p2["superpoint"])
+
+    def test_pose_node_weights_param(self):
+        from gisnav_tpu.nodes.bus import LocalBus
+        from gisnav_tpu.nodes.pose_node import PoseNode
+        from gisnav_tpu.pipeline.runners import LEARNED_LG9_CONFIG
+
+        node = PoseNode(LocalBus(), params={
+            "backend": "deep", "deep_mode": "warp",
+            "weights": "learned_lg9"})
+        assert node._config is LEARNED_LG9_CONFIG
