@@ -112,6 +112,23 @@ def _cmd_doctor(args) -> int:
     return 0 if ok else 1
 
 
+def _cmd_serial(args) -> int:
+    """Bridge a running graph's mock-GPS output to a pty GPS port."""
+    from gisnav_tpu.io.serial_bridge import SerialBridge
+    from gisnav_tpu.nodes.bus import ShmBus
+
+    bus = ShmBus(namespace=args.namespace)
+    bridge = SerialBridge(bus, protocol=args.protocol, link=args.link)
+    print(f"serial bridge up: {args.protocol} -> {args.link} "
+          f"(pty {bridge.slave_path}); Ctrl-C to stop")
+    try:
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        bridge.close()
+    return 0
+
+
 def _fleet_groups(services, hosts):
     """Group services by execution target.
 
@@ -226,6 +243,16 @@ def main(argv=None) -> int:
     doctor = sub.add_parser("doctor", help="environment self-check")
     doctor.add_argument("--wms-url", default=None)
     doctor.set_defaults(fn=_cmd_doctor)
+
+    serial = sub.add_parser(
+        "serial", help="pty bridge: mock-GPS bus output -> autopilot port")
+    serial.add_argument("--protocol", choices=("nmea", "ubx"),
+                        default="nmea")
+    serial.add_argument("--link", default="/tmp/gisnav-gps",
+                        help="stable symlink to the pty slave")
+    serial.add_argument("--namespace", default="gisnav",
+                        help="shared-memory bus namespace of the graph")
+    serial.set_defaults(fn=_cmd_serial)
 
     import os as _os
 

@@ -11,7 +11,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["unix_to_gps_time", "make_nav_pvt"]
+__all__ = ["unix_to_gps_time", "make_nav_pvt", "frame_nav_pvt"]
 
 _GPS_EPOCH_UNIX = 315964800  # 1980-01-06 00:00:00 UTC
 _SECONDS_PER_WEEK = 604800
@@ -84,3 +84,50 @@ def make_nav_pvt(
         "p_dop": 0,
         "head_veh": int(yaw_degrees * 1e5),
     }
+
+
+def frame_nav_pvt(pvt: Dict) -> bytes:
+    """Serialize a :func:`make_nav_pvt` dict to a framed UBX binary message.
+
+    UBX-NAV-PVT (class 0x01, id 0x07, 92-byte little-endian payload) with
+    the 8-bit Fletcher checksum over class/id/length/payload — the wire
+    format a u-blox serial driver (ArduPilot/PX4 GPS_TYPE u-blox) parses.
+    The reference publishes ublox_msgs over ROS and relies on an external
+    serial bridge; this framing lets ``gisnav_tpu serial`` feed the
+    autopilot's serial GPS port directly.
+    """
+    import struct
+
+    payload = struct.pack(
+        "<LHBBBBBBLlBBBBllllLLlllllLLHB5slhH",
+        pvt["i_tow"] & 0xFFFFFFFF,
+        pvt["year"], pvt["month"], pvt["day"],
+        pvt["hour"], pvt["min"], pvt["sec"],
+        pvt["valid"],
+        pvt["t_acc"],
+        pvt["nano"],
+        pvt["fix_type"],
+        pvt["flags"],
+        pvt["flags2"],
+        pvt["num_sv"],
+        pvt["lon"], pvt["lat"],
+        pvt["height"], pvt["h_msl"],
+        pvt["h_acc"], pvt["v_acc"],
+        pvt["vel_n"], pvt["vel_e"], pvt["vel_d"],
+        pvt["g_speed"],
+        pvt["heading"],
+        pvt["s_acc"], pvt["head_acc"],
+        pvt["p_dop"],
+        0,  # flags3
+        b"\x00" * 5,  # reserved1
+        pvt.get("head_veh", 0),
+        0,  # magDec (deg * 1e-2)
+        0,  # magAcc
+    )
+    assert len(payload) == 92, len(payload)
+    body = b"\x01\x07" + len(payload).to_bytes(2, "little") + payload
+    ck_a = ck_b = 0
+    for byte in body:
+        ck_a = (ck_a + byte) & 0xFF
+        ck_b = (ck_b + ck_a) & 0xFF
+    return b"\xb5\x62" + body + bytes((ck_a, ck_b))

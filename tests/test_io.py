@@ -146,3 +146,87 @@ class TestNMEAGoldenBlock:
             "$GPZDA,221320,14,11,2023,0,0*4E",
         ]
         assert sentences_for_fix(**FIX) == expected
+
+
+class TestUbxFraming:
+    def _pvt(self):
+        from gisnav_tpu.io.ubx import make_nav_pvt
+
+        return make_nav_pvt(
+            lat=600200000, lon=240300000, altitude_ellipsoid=500.0,
+            altitude_amsl=480.0, yaw_degrees=15.0, h_variance_rad=0.01,
+            vel_n_m_s=1.0, vel_e_m_s=2.0, vel_d_m_s=0.0, cog=0.5,
+            s_variance_m_s=0.3, timestamp=1_700_000_000_000_000, eph=1.0,
+            epv=2.0, satellites_visible=255,
+        )
+
+    def test_frame_layout_and_checksum(self):
+        import struct
+
+        from gisnav_tpu.io.ubx import frame_nav_pvt
+
+        b = frame_nav_pvt(self._pvt())
+        assert b[:2] == b"\xb5\x62"          # sync
+        assert b[2:4] == b"\x01\x07"          # NAV-PVT class/id
+        assert int.from_bytes(b[4:6], "little") == 92
+        assert len(b) == 100
+        # Fletcher checksum over class..payload
+        ck_a = ck_b = 0
+        for byte in b[2:-2]:
+            ck_a = (ck_a + byte) & 0xFF
+            ck_b = (ck_b + ck_a) & 0xFF
+        assert b[-2] == ck_a and b[-1] == ck_b
+        # lon/lat land at the documented payload offsets (24, 28)
+        lon = struct.unpack_from("<l", b, 6 + 24)[0]
+        lat = struct.unpack_from("<l", b, 6 + 28)[0]
+        assert lon == 240300000 and lat == 600200000
+
+
+class TestSerialBridge:
+    def test_nmea_bytes_reach_the_pty(self):
+        import os
+
+        from gisnav_tpu.io.serial_bridge import SerialBridge
+        from gisnav_tpu.nodes.bus import LocalBus
+        from gisnav_tpu.nodes.mock_gps import TOPIC_NMEA_SENTENCE
+
+        bus = LocalBus()
+        bridge = SerialBridge(bus, protocol="nmea")
+        try:
+            bus.publish(TOPIC_NMEA_SENTENCE,
+                        {"stamp_us": 1, "sentence": "$GPGGA,test*00"})
+            data = os.read(bridge._slave, 256)
+            assert data == b"$GPGGA,test*00\r\n"
+        finally:
+            bridge.close()
+
+    def test_ubx_frames_reach_the_pty(self):
+        import os
+
+        from gisnav_tpu.io.serial_bridge import SerialBridge
+        from gisnav_tpu.io.ubx import make_nav_pvt
+        from gisnav_tpu.nodes.bus import LocalBus
+        from gisnav_tpu.nodes.mock_gps import TOPIC_NAV_PVT
+
+        bus = LocalBus()
+        bridge = SerialBridge(bus, protocol="ubx")
+        try:
+            pvt = TestUbxFraming()._pvt()
+            bus.publish(TOPIC_NAV_PVT, pvt)
+            data = os.read(bridge._slave, 256)
+            assert data[:2] == b"\xb5\x62" and len(data) == 100
+        finally:
+            bridge.close()
+
+    def test_symlink_lifecycle(self, tmp_path):
+        import os
+
+        from gisnav_tpu.io.serial_bridge import SerialBridge
+        from gisnav_tpu.nodes.bus import LocalBus
+
+        link = str(tmp_path / "gps")
+        bridge = SerialBridge(LocalBus(), protocol="nmea", link=link)
+        assert os.path.islink(link)
+        assert os.readlink(link) == bridge.slave_path
+        bridge.close()
+        assert not os.path.exists(link)
