@@ -16,7 +16,19 @@ import sys
 import time
 
 
-def _cmd_run(args) -> int:
+def build_app(args):
+    """Construct the production graph from CLI args (separated from
+    ``_cmd_run`` so tests can drive the exact CLI-constructed wiring).
+
+    Returns ``(app, ros_adapter_or_None)``. Backend selection mirrors the
+    reference launch layer picking node set + protocol at startup
+    (``launch/local.launch.py:28-75`` in hmakelin/gisnav): ``--backend deep``
+    runs the cached-reference SuperPoint+LightGlue device program the bench
+    measures; ``--weights`` picks a bundled set (``harris_lg5`` /
+    ``learned_lg9``) or an ``.npz`` path; ``--ros`` bridges the bus to
+    rclpy topics (MAVROS / gscam / micro-ros-agent inputs, mock-GPS
+    outputs).
+    """
     from gisnav_tpu.nodes import GisNavApp
     from gisnav_tpu.nodes.bus import LocalBus, ShmBus
 
@@ -24,14 +36,61 @@ def _cmd_run(args) -> int:
     if args.params:
         with open(args.params) as f:
             params = json.load(f)
+    pose_params = dict(params.get("pose_node") or {})
+    pose_params.setdefault("backend", args.backend)
+    if args.backend == "deep":
+        pose_params.setdefault("weights", args.weights)
+        pose_params.setdefault("deep_mode", args.deep_mode)
+    params["pose_node"] = pose_params
+
+    deep_runner = None
+    if args.backend == "deep" and not _is_bundled(args.weights):
+        # explicit .npz path: build the runner here (PoseNode's "weights"
+        # param only understands bundled names)
+        from gisnav_tpu.pipeline.runners import (
+            PRETRAINED_CONFIG,
+            make_cached_deep_runner,
+            make_deep_runner,
+        )
+        from gisnav_tpu.weights import load_pretrained
+
+        wparams = load_pretrained(args.weights)
+        make = (make_deep_runner if args.deep_mode == "warp"
+                else make_cached_deep_runner)
+        deep_runner = make(params=wparams, config=PRETRAINED_CONFIG)
+
     bus = ShmBus(namespace=args.namespace) if args.shm else LocalBus(
         async_dispatch=True
     )
     app = GisNavApp(bus=bus, params=params, protocol=args.protocol,
-                    wfst=args.wfst)
+                    wfst=args.wfst, deep_runner=deep_runner)
+
+    adapter = None
+    if args.ros:
+        from gisnav_tpu.nodes.ros_adapter import maybe_attach
+
+        adapter = maybe_attach(bus, protocols=(args.protocol,))
+        if adapter is None:
+            print("[WARN] --ros requested but rclpy is not importable; "
+                  "running without the ROS bridge", file=sys.stderr)
+    return app, adapter
+
+
+def _is_bundled(weights: str) -> bool:
+    return weights in ("harris_lg5", "learned_lg9")
+
+
+def _cmd_run(args) -> int:
+    import threading
+
+    app, adapter = build_app(args)
     app.spin(gis_rate_hz=args.gis_rate)
-    print(f"gisnav_tpu running (protocol={args.protocol}, "
-          f"transport={'shm' if args.shm else 'local'}); Ctrl-C to stop")
+    if adapter is not None:
+        threading.Thread(target=adapter.spin, daemon=True).start()
+    print(f"gisnav_tpu running (backend={args.backend}, "
+          f"protocol={args.protocol}, "
+          f"transport={'shm' if args.shm else 'local'}, "
+          f"ros={'on' if adapter else 'off'}); Ctrl-C to stop")
     try:
         while True:
             time.sleep(1.0)
@@ -212,6 +271,20 @@ def main(argv=None) -> int:
     run = sub.add_parser("run", help="launch the full node graph")
     run.add_argument("--protocol", choices=("uorb", "nmea", "ubx"),
                      default="uorb")
+    run.add_argument("--backend", choices=("classical", "deep", "semidense"),
+                     default="deep",
+                     help="pose backend; 'deep' (default) is the cached "
+                          "SuperPoint+LightGlue device program the bench "
+                          "measures")
+    run.add_argument("--weights", default="harris_lg5",
+                     help="bundled weight set (harris_lg5 | learned_lg9) "
+                          "or a path to an .npz checkpoint")
+    run.add_argument("--deep-mode", choices=("cached", "warp"),
+                     default="cached",
+                     help="cached: HBM-resident map features (production); "
+                          "warp: per-frame rotate/crop (StereoNode parity)")
+    run.add_argument("--ros", action="store_true",
+                     help="bridge the bus to ROS 2 topics (needs rclpy)")
     run.add_argument("--params", help="JSON file with per-node parameters")
     run.add_argument("--shm", action="store_true",
                      help="use the shared-memory bus (multi-process graphs)")

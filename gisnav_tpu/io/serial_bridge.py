@@ -14,6 +14,7 @@ Usage (CLI)::
 from __future__ import annotations
 
 import os
+import tty
 from typing import Optional
 
 from gisnav_tpu.io.ubx import frame_nav_pvt
@@ -40,6 +41,12 @@ class SerialBridge:
 
         self.protocol = protocol
         self._master, self._slave = os.openpty()
+        # The bridge must be byte-transparent like the socat hop it replaces
+        # (reference docker/nmea/entrypoint.sh): raw mode on BOTH ends, or the
+        # slave's canonical line discipline mangles NMEA CRLF (ICRNL) and
+        # buffers binary UBX frames until a stray newline arrives.
+        tty.setraw(self._master)
+        tty.setraw(self._slave)
         self.slave_path = os.ttyname(self._slave)
         self.link = link
         if link:

@@ -183,7 +183,10 @@ class RosAdapter:
                     SensorGps, ROS_TOPIC_SENSOR_GPS, 10
                 )
 
-                def on_fix(fix: dict) -> None:
+                # bind pub at definition time: the name is reused by the
+                # other protocol blocks below (late binding would route
+                # every output through the last-created publisher)
+                def on_fix(fix: dict, pub=pub) -> None:
                     msg = SensorGps()
                     for key, value in fix.items():
                         if hasattr(msg, key):
@@ -203,7 +206,7 @@ class RosAdapter:
                     Sentence, TOPIC_NMEA_SENTENCE, 10
                 )
 
-                def on_sentence(payload: dict) -> None:
+                def on_sentence(payload: dict, pub=pub) -> None:
                     msg = Sentence()
                     msg.sentence = payload["sentence"]
                     pub.publish(msg)
@@ -219,7 +222,7 @@ class RosAdapter:
 
                 pub = self.node.create_publisher(NavPVT, TOPIC_NAV_PVT, 10)
 
-                def on_navpvt(fix: dict) -> None:
+                def on_navpvt(fix: dict, pub=pub) -> None:
                     msg = NavPVT()
                     for key, value in fix.items():
                         if hasattr(msg, key):

@@ -15,6 +15,9 @@ from gisnav_tpu.geometry.crs import haversine_m
 from gisnav_tpu.nodes import GisNavApp
 from gisnav_tpu.nodes.mock_gps import TOPIC_SENSOR_GPS
 
+# heavy compile/e2e module; excluded from the fast subset (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _fly(wms_url, profile, ground_alt_m=0.0, dem_value=0, pose_params=None):
     """Run the full graph over ``profile`` = [(lon, lat, alt_ellipsoid_m,

@@ -20,6 +20,9 @@ from gisnav_tpu.geometry.quaternion import matrix_to_quat
 from gisnav_tpu.nodes import GisNavApp
 from gisnav_tpu.nodes.mock_gps import TOPIC_SENSOR_GPS
 
+# heavy compile/e2e module; excluded from the fast subset (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 # ---------------------------------------------------------------------------
 # Synthetic world
 # ---------------------------------------------------------------------------

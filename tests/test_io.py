@@ -182,10 +182,23 @@ class TestUbxFraming:
         assert lon == 240300000 and lat == 600200000
 
 
+def _read_pty(fd: int, n: int, timeout_s: float = 5.0) -> bytes:
+    """Drain up to ``n`` bytes from a pty fd, never blocking past timeout."""
+    import os
+    import select
+
+    buf = b""
+    while len(buf) < n:
+        ready, _, _ = select.select([fd], [], [], timeout_s)
+        if not ready:
+            break
+        buf += os.read(fd, n - len(buf))
+        timeout_s = 0.2  # subsequent chunks: short drain window
+    return buf
+
+
 class TestSerialBridge:
     def test_nmea_bytes_reach_the_pty(self):
-        import os
-
         from gisnav_tpu.io.serial_bridge import SerialBridge
         from gisnav_tpu.nodes.bus import LocalBus
         from gisnav_tpu.nodes.mock_gps import TOPIC_NMEA_SENTENCE
@@ -195,16 +208,14 @@ class TestSerialBridge:
         try:
             bus.publish(TOPIC_NMEA_SENTENCE,
                         {"stamp_us": 1, "sentence": "$GPGGA,test*00"})
-            data = os.read(bridge._slave, 256)
+            # byte-exact CRLF: PX4's NMEA parser requires \r\n terminators
+            data = _read_pty(bridge._slave, 16)
             assert data == b"$GPGGA,test*00\r\n"
         finally:
             bridge.close()
 
     def test_ubx_frames_reach_the_pty(self):
-        import os
-
         from gisnav_tpu.io.serial_bridge import SerialBridge
-        from gisnav_tpu.io.ubx import make_nav_pvt
         from gisnav_tpu.nodes.bus import LocalBus
         from gisnav_tpu.nodes.mock_gps import TOPIC_NAV_PVT
 
@@ -213,7 +224,8 @@ class TestSerialBridge:
         try:
             pvt = TestUbxFraming()._pvt()
             bus.publish(TOPIC_NAV_PVT, pvt)
-            data = os.read(bridge._slave, 256)
+            # binary frame must arrive whole with no newline needed (raw mode)
+            data = _read_pty(bridge._slave, 100)
             assert data[:2] == b"\xb5\x62" and len(data) == 100
         finally:
             bridge.close()

@@ -1,9 +1,13 @@
 """Tests for the semi-dense LoFTR-style matcher."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gisnav_tpu.matching.loftr import LoFTR, _sine_pos_encoding
+
+# heavy compile/e2e module; excluded from the fast subset (-m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 class TestLoFTR:

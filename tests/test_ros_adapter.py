@@ -1,0 +1,404 @@
+"""RosAdapter tests against a stub rclpy stack.
+
+The adapter bridges the internal bus to the reference's external ROS 2 topic
+surface (SURVEY.md L1; expected topology checklist at
+``test/launch/testcases.py:29-61`` in hmakelin/gisnav). No ROS runs here: a
+fake ``rclpy``/``sensor_msgs``/``px4_msgs``/... stack is injected into
+``sys.modules`` so topic names, message conversion in both directions, and
+the MAVROS auto-configuration service calls can all be asserted.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from gisnav_tpu.constants import (
+    ROS_TOPIC_CAMERA_INFO,
+    ROS_TOPIC_IMAGE,
+    ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS,
+    ROS_TOPIC_MAVROS_GLOBAL_POSITION,
+    ROS_TOPIC_SENSOR_GPS,
+)
+from gisnav_tpu.nodes.bus import LocalBus
+from gisnav_tpu.nodes.mock_gps import TOPIC_NAV_PVT, TOPIC_NMEA_SENTENCE
+
+
+# ---------------------------------------------------------------------------
+# Fake rclpy stack
+# ---------------------------------------------------------------------------
+
+class _Stamp:
+    def __init__(self, sec=0, nanosec=0):
+        self.sec, self.nanosec = sec, nanosec
+
+
+class _Header:
+    def __init__(self, sec=0, nanosec=0, frame_id=""):
+        self.stamp = _Stamp(sec, nanosec)
+        self.frame_id = frame_id
+
+
+class FakeImage:
+    def __init__(self, height, width, encoding, data, sec=0, nanosec=0,
+                 frame_id="camera_optical"):
+        self.height, self.width = height, width
+        self.encoding = encoding
+        self.data = data
+        self.header = _Header(sec, nanosec, frame_id)
+
+
+class FakeCameraInfo:
+    def __init__(self, k, width, height):
+        self.k = k
+        self.width, self.height = width, height
+        self.header = _Header()
+
+
+class FakeNavSatFix:
+    def __init__(self, lat, lon, alt, sec=0, nanosec=0):
+        self.latitude, self.longitude, self.altitude = lat, lon, alt
+        self.header = _Header(sec, nanosec)
+
+
+class _Quat:
+    def __init__(self, w, x, y, z):
+        self.w, self.x, self.y, self.z = w, x, y, z
+
+
+class FakeGimbalStatus:
+    def __init__(self, q, sec=0, nanosec=0):
+        self.q = q
+        self.header = _Header(sec, nanosec)
+
+
+class FakeSensorGps:
+    """px4_msgs SensorGps with the field subset the graph fills."""
+
+    def __init__(self):
+        self.timestamp = 0
+        self.timestamp_sample = 0
+        self.lat = 0
+        self.lon = 0
+        self.alt = 0
+        self.alt_ellipsoid = 0
+        self.eph = 0.0
+        self.epv = 0.0
+        self.satellites_used = 0
+        self.heading = 0.0
+        self.vel_m_s = 0.0
+
+
+class FakeSentence:
+    def __init__(self):
+        self.sentence = ""
+        self.header = _Header()
+
+
+class FakeNavPVT:
+    def __init__(self):
+        self.lat = 0
+        self.lon = 0
+        self.i_tow = 0
+
+
+class FakeLogger:
+    def __init__(self):
+        self.warnings = []
+
+    def warning(self, msg, *a):
+        self.warnings.append(msg % a if a else msg)
+
+    info = warning
+
+
+class FakePublisher:
+    def __init__(self, msg_type, topic):
+        self.msg_type, self.topic = msg_type, topic
+        self.published = []
+
+    def publish(self, msg):
+        self.published.append(msg)
+
+
+class FakeClient:
+    def __init__(self, srv_type, name, available=True):
+        self.srv_type, self.name = srv_type, name
+        self.available = available
+        self.requests = []
+
+    def wait_for_service(self, timeout_sec=None):
+        return self.available
+
+    def call_async(self, request):
+        self.requests.append(request)
+
+
+class FakeRclpyNode:
+    unavailable_services = ()
+
+    def __init__(self, name):
+        self.name = name
+        self.subs = {}
+        self.pubs = {}
+        self.clients = {}
+        self._logger = FakeLogger()
+
+    def create_subscription(self, msg_type, topic, cb, qos):
+        self.subs[topic] = (msg_type, cb)
+
+    def create_publisher(self, msg_type, topic, qos):
+        pub = FakePublisher(msg_type, topic)
+        self.pubs[topic] = pub
+        return pub
+
+    def create_client(self, srv_type, name):
+        cli = FakeClient(srv_type, name,
+                         available=name not in self.unavailable_services)
+        self.clients[name] = cli
+        return cli
+
+    def get_logger(self):
+        return self._logger
+
+
+class _PT:
+    PARAMETER_BOOL = 1
+    PARAMETER_STRING = 4
+
+
+class _ParameterValue:
+    def __init__(self, type=0, bool_value=False, string_value=""):
+        self.type = type
+        self.bool_value = bool_value
+        self.string_value = string_value
+
+
+class _Parameter:
+    def __init__(self, name="", value=None):
+        self.name, self.value = name, value
+
+
+class _SetParameters:
+    class Request:
+        def __init__(self, parameters=()):
+            self.parameters = list(parameters)
+
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    return m
+
+
+@pytest.fixture
+def fake_ros(monkeypatch):
+    """Install the stub ROS stack into sys.modules; yields nothing."""
+    rclpy = _mod("rclpy", ok=lambda: True, init=lambda: None,
+                 spin=lambda node: None)
+    rclpy.node = _mod("rclpy.node", Node=FakeRclpyNode)
+    mods = {
+        "rclpy": rclpy,
+        "rclpy.node": rclpy.node,
+        "sensor_msgs": _mod("sensor_msgs"),
+        "sensor_msgs.msg": _mod(
+            "sensor_msgs.msg", Image=FakeImage, CameraInfo=FakeCameraInfo,
+            NavSatFix=FakeNavSatFix),
+        "mavros_msgs": _mod("mavros_msgs"),
+        "mavros_msgs.msg": _mod(
+            "mavros_msgs.msg", GimbalDeviceAttitudeStatus=FakeGimbalStatus),
+        "px4_msgs": _mod("px4_msgs"),
+        "px4_msgs.msg": _mod("px4_msgs.msg", SensorGps=FakeSensorGps),
+        "nmea_msgs": _mod("nmea_msgs"),
+        "nmea_msgs.msg": _mod("nmea_msgs.msg", Sentence=FakeSentence),
+        "ublox_msgs": _mod("ublox_msgs"),
+        "ublox_msgs.msg": _mod("ublox_msgs.msg", NavPVT=FakeNavPVT),
+        "rcl_interfaces": _mod("rcl_interfaces"),
+        "rcl_interfaces.msg": _mod(
+            "rcl_interfaces.msg", Parameter=_Parameter,
+            ParameterValue=_ParameterValue, ParameterType=_PT),
+        "rcl_interfaces.srv": _mod(
+            "rcl_interfaces.srv", SetParameters=_SetParameters),
+    }
+    for name, mod in mods.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+    yield
+
+
+def _adapter(bus=None, protocols=("uorb", "nmea", "ubx")):
+    from gisnav_tpu.nodes.ros_adapter import RosAdapter
+
+    bus = bus or LocalBus()
+    return RosAdapter(bus, protocols=protocols), bus
+
+
+# ---------------------------------------------------------------------------
+# Topology
+# ---------------------------------------------------------------------------
+
+class TestTopology:
+    def test_inbound_topic_surface(self, fake_ros):
+        adapter, _ = _adapter()
+        subs = adapter.node.subs
+        # the reference topology's input topics (testcases.py:29-61)
+        assert set(subs) == {
+            ROS_TOPIC_IMAGE,
+            ROS_TOPIC_CAMERA_INFO,
+            ROS_TOPIC_MAVROS_GLOBAL_POSITION,
+            ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS,
+        }
+        assert subs[ROS_TOPIC_IMAGE][0] is FakeImage
+        assert subs[ROS_TOPIC_CAMERA_INFO][0] is FakeCameraInfo
+        assert subs[ROS_TOPIC_MAVROS_GLOBAL_POSITION][0] is FakeNavSatFix
+
+    def test_outbound_topic_surface(self, fake_ros):
+        adapter, _ = _adapter()
+        pubs = adapter.node.pubs
+        assert set(pubs) == {
+            ROS_TOPIC_SENSOR_GPS, TOPIC_NMEA_SENTENCE, TOPIC_NAV_PVT,
+        }
+        assert pubs[ROS_TOPIC_SENSOR_GPS].msg_type is FakeSensorGps
+
+    def test_protocol_subset(self, fake_ros):
+        adapter, _ = _adapter(protocols=("nmea",))
+        assert set(adapter.node.pubs) == {TOPIC_NMEA_SENTENCE}
+
+    def test_ros_available_via_stub(self, fake_ros):
+        from gisnav_tpu.nodes.ros_adapter import maybe_attach, ros_available
+
+        assert ros_available()
+        assert maybe_attach(LocalBus()) is not None
+
+
+# ---------------------------------------------------------------------------
+# Inbound conversion (ROS -> bus)
+# ---------------------------------------------------------------------------
+
+class TestInbound:
+    def test_mono8_image(self, fake_ros):
+        adapter, bus = _adapter()
+        got = []
+        bus.subscribe(ROS_TOPIC_IMAGE, got.append)
+        img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        _, cb = adapter.node.subs[ROS_TOPIC_IMAGE]
+        cb(FakeImage(3, 4, "mono8", img.tobytes(), sec=2, nanosec=500_000))
+        assert len(got) == 1
+        assert got[0]["stamp_us"] == 2_000_500
+        assert got[0]["frame_id"] == "camera_optical"
+        np.testing.assert_array_equal(got[0]["image"], img)
+
+    def test_bgr8_image_converted_to_gray(self, fake_ros):
+        adapter, bus = _adapter()
+        got = []
+        bus.subscribe(ROS_TOPIC_IMAGE, got.append)
+        bgr = np.zeros((2, 2, 3), np.uint8)
+        bgr[..., 2] = 255  # pure red (BGR)
+        _, cb = adapter.node.subs[ROS_TOPIC_IMAGE]
+        cb(FakeImage(2, 2, "bgr8", bgr.tobytes()))
+        assert got[0]["image"].shape == (2, 2)
+        # ITU-R 601 red weight ~0.299 -> 76
+        assert 70 < int(got[0]["image"][0, 0]) < 82
+
+    def test_camera_info(self, fake_ros):
+        adapter, bus = _adapter()
+        got = []
+        bus.subscribe(ROS_TOPIC_CAMERA_INFO, got.append)
+        k = [400.0, 0.0, 320.0, 0.0, 400.0, 240.0, 0.0, 0.0, 1.0]
+        _, cb = adapter.node.subs[ROS_TOPIC_CAMERA_INFO]
+        cb(FakeCameraInfo(k, 640, 480))
+        assert got[0]["width"] == 640 and got[0]["height"] == 480
+        np.testing.assert_allclose(
+            got[0]["k"], np.asarray(k).reshape(3, 3))
+
+    def test_navsatfix(self, fake_ros):
+        adapter, bus = _adapter()
+        got = []
+        bus.subscribe(ROS_TOPIC_MAVROS_GLOBAL_POSITION, got.append)
+        _, cb = adapter.node.subs[ROS_TOPIC_MAVROS_GLOBAL_POSITION]
+        cb(FakeNavSatFix(60.02, 24.03, 512.5, sec=7))
+        msg = got[0]
+        assert msg["lat"] == 60.02 and msg["lon"] == 24.03
+        assert msg["alt_ellipsoid"] == 512.5
+        assert msg["stamp_us"] == 7_000_000
+
+    def test_gimbal_attitude_mavlink_to_xyzw(self, fake_ros):
+        adapter, bus = _adapter()
+        got = []
+        bus.subscribe(ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS,
+                      got.append)
+        _, cb = adapter.node.subs[
+            ROS_TOPIC_MAVROS_GIMBAL_DEVICE_ATTITUDE_STATUS]
+        cb(FakeGimbalStatus(_Quat(w=0.1, x=0.2, y=0.3, z=0.4)))
+        # MAVLink wxyz reordered to the graph's xyzw convention
+        np.testing.assert_allclose(got[0]["quat_xyzw"],
+                                   [0.2, 0.3, 0.4, 0.1])
+
+
+# ---------------------------------------------------------------------------
+# Outbound conversion (bus -> ROS)
+# ---------------------------------------------------------------------------
+
+class TestOutbound:
+    def test_sensor_gps_fields(self, fake_ros):
+        adapter, bus = _adapter()
+        bus.publish(ROS_TOPIC_SENSOR_GPS, {
+            "lat": 600200000, "lon": 240300000, "alt_ellipsoid": 512500,
+            "satellites_used": 255, "eph": 2.5,
+            "not_a_px4_field": "ignored",
+        })
+        pub = adapter.node.pubs[ROS_TOPIC_SENSOR_GPS]
+        assert len(pub.published) == 1
+        msg = pub.published[0]
+        assert msg.lat == 600200000 and msg.lon == 240300000
+        assert msg.satellites_used == 255
+        assert msg.eph == 2.5
+        assert not hasattr(msg, "not_a_px4_field")
+
+    def test_nmea_sentence(self, fake_ros):
+        adapter, bus = _adapter()
+        bus.publish(TOPIC_NMEA_SENTENCE,
+                    {"stamp_us": 1, "sentence": "$GPGGA,x*00"})
+        pub = adapter.node.pubs[TOPIC_NMEA_SENTENCE]
+        assert pub.published[0].sentence == "$GPGGA,x*00"
+
+    def test_nav_pvt(self, fake_ros):
+        adapter, bus = _adapter()
+        bus.publish(TOPIC_NAV_PVT, {"lat": 600200000, "lon": 240300000,
+                                    "i_tow": 12345})
+        msg = adapter.node.pubs[TOPIC_NAV_PVT].published[0]
+        assert msg.lat == 600200000 and msg.i_tow == 12345
+
+
+# ---------------------------------------------------------------------------
+# MAVROS auto-configuration
+# ---------------------------------------------------------------------------
+
+class TestConfigureMavros:
+    def test_pushes_plugin_parameters(self, fake_ros):
+        adapter, _ = _adapter()
+        clients = adapter.node.clients
+        assert set(clients) == {
+            "/mavros/local_position/set_parameters",
+            "/mavros/gimbal_control/set_parameters",
+        }
+        lp = clients["/mavros/local_position/set_parameters"]
+        assert len(lp.requests) == 1
+        by_name = {p.name: p.value for p in lp.requests[0].parameters}
+        assert by_name["tf.send"].bool_value is True
+        assert by_name["tf.frame_id"].string_value == "odom"
+        gc = clients["/mavros/gimbal_control/set_parameters"]
+        by_name = {p.name: p.value for p in gc.requests[0].parameters}
+        assert by_name["tf.send"].bool_value is True
+        assert (by_name["tf.frame_id"].string_value
+                == "base_link_stabilized_frd")
+
+    def test_missing_service_is_fail_soft(self, fake_ros, monkeypatch):
+        monkeypatch.setattr(
+            FakeRclpyNode, "unavailable_services",
+            ("/mavros/gimbal_control/set_parameters",))
+        adapter, _ = _adapter()
+        gc = adapter.node.clients["/mavros/gimbal_control/set_parameters"]
+        assert gc.requests == []  # skipped, not crashed
+        assert any("gimbal_control" in w
+                   for w in adapter.node.get_logger().warnings)

@@ -1,4 +1,5 @@
 """Training-step and multi-device sharding tests (8 virtual CPU devices)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,9 @@ from gisnav_tpu.train import (
     make_homography_batch,
     make_train_step,
 )
+
+# heavy compile/e2e module; excluded from the fast subset (-m 'not slow')
+pytestmark = pytest.mark.slow
 
 SMALL = TrainConfig(image_shape=(64, 80), max_keypoints=64, lightglue_depth=1,
                     learning_rate=3e-4)
