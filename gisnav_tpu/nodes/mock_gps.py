@@ -93,7 +93,14 @@ class MockGPSNode(Node):
         cov = np.asarray(odom["pose_covariance"])
         eph = float(np.sqrt(cov[0, 0] + cov[1, 1]))
         epv = float(np.sqrt(cov[2, 2]))
-        h_variance_rad = float(cov[5, 5] ** 2)  # reference squares the entry
+        # cov[5,5] IS already the yaw variance (rad^2). The reference squares
+        # it again (``_mock_gps_node.py`` heading-variance path), a unit
+        # error that deflates the autopilot's heading variance whenever
+        # cov[5,5] < 1; ``strict_reference_variance`` restores bug-for-bug
+        # parity (documented in docs/parity.md)
+        h_variance_rad = float(cov[5, 5])
+        if self.param("strict_reference_variance", False):
+            h_variance_rad = float(cov[5, 5] ** 2)
 
         # velocity: body frame -> odom(ENU-aligned) -> NED
         r_ob = quat_to_matrix(np.asarray(odom["quat_xyzw"]))

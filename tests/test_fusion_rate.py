@@ -128,3 +128,39 @@ class TestGeoid:
         node2._counter = 100
         fix2 = node2.odom_to_fix(odom)
         assert abs(fix2["altitude_amsl"] - 497.0) < 0.5
+
+    def test_heading_variance_modes(self):
+        """Default: cov[5,5] (already rad^2) passes through; the reference's
+        double-square unit error is reproducible behind
+        ``strict_reference_variance`` (docs/parity.md)."""
+        from gisnav_tpu.geometry.crs import wgs84_to_ecef
+        from gisnav_tpu.nodes.mock_gps import UORBNode
+        from gisnav_tpu.nodes.tf import TransformGraph
+
+        bus = LocalBus()
+        tf = TransformGraph()
+        h = np.eye(4)
+        h[:3, 3] = wgs84_to_ecef(24.94, 60.17, 500.0)
+        tf.add("earth", "gisnav_odom", h, 1_000_000, static=True)
+        cov = np.eye(6)
+        cov[5, 5] = 0.04  # yaw variance (0.2 rad SD)
+        odom = {
+            "stamp_us": 1_000_000,
+            "frame_id": "gisnav_odom",
+            "position": np.zeros(3),
+            "quat_xyzw": np.array([0.0, 0.0, 0.0, 1.0]),
+            "pose_covariance": cov,
+            "velocity_body": np.zeros(3),
+            "angular_velocity_body": np.zeros(3),
+            "twist_covariance": np.eye(6),
+            "latest_global_match_stamp_us": 1_000_000,
+        }
+        sane = UORBNode(bus, tf=tf)
+        sane._counter = 100
+        assert abs(sane.odom_to_fix(odom)["h_variance_rad"] - 0.04) < 1e-9
+
+        strict = UORBNode(bus, params={"strict_reference_variance": True},
+                          tf=tf)
+        strict._counter = 100
+        assert abs(strict.odom_to_fix(odom)["h_variance_rad"]
+                   - 0.04 ** 2) < 1e-9
