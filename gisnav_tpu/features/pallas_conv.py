@@ -2,11 +2,11 @@
 
 XLA lowers the 3x3 convs of the SuperPoint encoder at ~15-21 TF/s on v5e
 regardless of layout/dtype (measured round 1: the conv trunk dominated the
-23.5 ms frame at 1080p, PLAN.md). This kernel recasts each VGG stage
+frame at 1080p). This kernel recasts each VGG stage
 
     conv3x3 + bias + relu [-> conv3x3 + bias + relu]
 
-as ONE Mosaic program built on three ideas:
+as ONE Mosaic program built on four ideas:
 
 1. **Flat padded layout**: activations are ``(rows * S, L)`` matrices where
    each image row occupies ``S`` consecutive sublanes and (for 64-channel
@@ -15,17 +15,27 @@ as ONE Mosaic program built on three ideas:
    128 minimum. Zero pad columns provide SAME-padding reads.
 2. **Vertical taps are free**: a ``dy`` shift is a row shift = a sublane
    slice at a multiple of ``S`` — aligned (S is a multiple of 8), so it
-   costs nothing. Only the two ``dx = +-1`` pixel shifts materialize rolled
-   copies (f32 sublane rotates — Mosaic's only supported rotate dtype).
-3. **Phase-blocked tap matmuls**: each (dy, u) shift pair contracts with a
-   ``(pack*C, pack*Cout)`` block matrix holding the taps that land on that
-   shift, f32-accumulated on the MXU at full 128+ lane width.
+   costs nothing.
+3. **Dense neighbor operand**: the packed activation ``a`` is widened ONCE
+   per conv into ``b = [a | prev-pixel | next-pixel]`` — ``(m, (p+2)*Cin)``
+   lanes, the two side blocks being +-1 *sublane-slice* shifts of one
+   pixel's channel block (bf16 sublane slices are cheap; Mosaic's rotate
+   would force an f32 round-trip). Each ``dy`` then contracts in ONE
+   ``(m, (p+2)Cin) @ ((p+2)Cin, p*Cout)`` MXU matmul whose weight density
+   is 3p/(p+2)p: 100% at pack=1, 75% at pack=2 — versus 50% for the
+   earlier per-(dy,u) pair-phase blocks (PLAN.md round-2 analysis: dx=+-1
+   taps straddling pair boundaries cost exactly 2x padded FLOPs).
+4. **Double-buffered slab DMA**: each grid step prefetches the next tile's
+   input slab from HBM while the current tile computes, hiding HBM latency
+   behind the MXU (the round-2 kernel's start-wait-compute serialization
+   left the MXU idle for entire DMA round-trips on small tiles).
 
-Row AND width tiling (with 2-pixel halos DMA'd from HBM) bound VMEM and the
-halo recompute overhead; the 2x2 maxpool between stages stays in XLA (one
-cheap fused reduction over the kernel's output). Cascaded SAME correctness:
-the intermediate activation re-zeroes everything outside the image (conv1
-computes garbage in the global halo; conv2 must see zeros there).
+Row AND width tiling (with 2-pixel halos DMA'd from HBM) bound VMEM; row
+tiles may be any divisor of H (h=136 feature maps tile at 34 rows, not 8).
+The 2x2 maxpool between stages stays in XLA (one cheap fused reduction over
+the kernel's output). Cascaded SAME correctness: the intermediate
+activation re-zeroes everything outside the image (conv1 computes garbage
+in the global halo; conv2 must see zeros there).
 
 Replaces the reference's OpenCV/torch conv stack on the hot path
 (``core/pose_node.py:226-297`` in hmakelin/gisnav runs SIFT + kornia on
@@ -61,6 +71,11 @@ def _pack_for(cin: int) -> int:
     return 2 if cin % 128 else 1
 
 
+def _row_tiles(h: int) -> list:
+    """Candidate row-tile heights: divisors of h, largest first."""
+    return [t for t in range(min(h, 256), 7, -1) if h % t == 0]
+
+
 def _geometry(h: int, w: int, cin: int, cmid: int, cout: int,
               double: bool) -> Optional[Tuple[int, int, int, int]]:
     """Pick (tr, tcv, lp, wq_tot): row tile, valid pair-cols per width tile,
@@ -71,22 +86,24 @@ def _geometry(h: int, w: int, cin: int, cmid: int, cout: int,
     lp = 4
     wv = w // pack
     wq_tot = _align(lp + wv + lp, 8)
-    # v5e has a large VMEM; measured: tr=64 x tcs=200 x 128-lane double-conv
-    # tiles compile and run. Keep a margin for Mosaic's own buffers.
+    # v5e VMEM budget with a margin for Mosaic's own pipeline buffers
     budget = 48 * 1024 * 1024
 
-    def vmem(tr, tcs):
+    def vmem(tr, tcs, tcv):
         m = (tr + 4) * tcs
         l_in, l_mid, l_out = pack * cin, pack * cmid, pack * cout
-        lmax = max(l_in, l_mid, l_out)
-        return (
-            m * l_in * 2  # slab bf16
-            + 3 * m * lmax * 2  # three shifted bf16 buffers
-            + m * lmax * 4  # f32 roll transient
+        b_in = (pack + 2) * cin   # conv1 operand lanes
+        b_mid = (pack + 2) * cmid
+        total = (
+            2 * m * l_in * 2           # double-buffered input slab (bf16)
+            + m * b_in * 2             # conv1 neighbor operand
             + m * max(l_mid, l_out) * 4  # live f32 accumulator
-            + (m * l_mid * 2 if double else 0)  # h1 bf16
-            + 2 * tr * (tcs - 2 * lp) * l_out * 2  # double-buffered out
+            + 2 * m * cin * 2          # prev/next transients
+            + 2 * tr * tcv * l_out * 2  # double-buffered out
         )
+        if double:
+            total += m * l_mid * 2 + m * b_mid * 2 + 2 * m * cmid * 2
+        return total
 
     # candidate width tiles: full width, else 8-aligned tcv dividing wv
     # (DMA column slice offsets must be provably 8-divisible); among the
@@ -100,8 +117,8 @@ def _geometry(h: int, w: int, cin: int, cmid: int, cout: int,
         tcs = wq_tot if tcv == wv else tcv + 2 * lp
         if tcs % 8:
             continue
-        for tr in (128, 64, 32, 16, 8):
-            if h % tr or vmem(tr, tcs) > budget:
+        for tr in _row_tiles(h):
+            if vmem(tr, tcs, tcv) > budget:
                 continue
             overhead = (tr + 4) / tr * tcs / max(tcv, 1)
             tiles = (h // tr) * (wv // tcv)
@@ -120,64 +137,65 @@ def pallas_conv_supported(h: int, w: int, cin: int, cmid: int,
     return _geometry(h, w, cin, cmid, cout, double) is not None
 
 
-def _schedule(w: jnp.ndarray, pack: int):
-    """Regroup a (3, 3, Cin, Cout) kernel into per-(dy, u) block matrices.
+def _w_operand(w: jnp.ndarray, pack: int) -> jnp.ndarray:
+    """Regroup a (3, 3, Cin, Cout) kernel for the neighbor-operand matmul.
 
-    Output pixel phase e at pair-sublane q of row r reads source pixel
-    ``pack*q + e + dx`` of row ``r+dy``: within-row pair shift
-    ``u = (e + dx) // pack``, source phase ``(e + dx) % pack``. dy is
-    applied as an aligned row slice, u as a +-1 sublane roll. Returns
-    ``[((dy, u), (pack*Cin, pack*Cout))]``, traceable.
+    Operand lane block ``t`` holds source pixel ``pack*q + t`` for
+    ``t < pack``, pixel ``pack*q - 1`` at ``t == pack`` (prev) and pixel
+    ``pack*q + pack`` at ``t == pack + 1`` (next). Output phase ``e`` at
+    pair-sublane ``q`` needs tap ``dx = src_pixel - (pack*q + e)``. Returns
+    the three per-dy matrices stacked on rows:
+    ``(3 * (pack+2) * Cin, pack * Cout)``, traceable.
     """
     cin, cout = w.shape[2], w.shape[3]
-    mats = {}
+    blocks = []
     for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
+        wd = jnp.zeros(((pack + 2) * cin, pack * cout), jnp.float32)
+        for t in range(pack + 2):
+            src = t if t < pack else (-1 if t == pack else pack)
             for e in range(pack):
-                u = (e + dx) // pack
-                half = (e + dx) % pack
-                key = (dy, u)
-                m = mats.get(key)
-                if m is None:
-                    m = jnp.zeros((pack * cin, pack * cout), jnp.float32)
-                mats[key] = m.at[
-                    half * cin:(half + 1) * cin, e * cout:(e + 1) * cout
-                ].add(w[dy + 1, dx + 1].astype(jnp.float32))
-    return sorted(mats.items())
+                dx = src - e
+                if -1 <= dx <= 1:
+                    wd = wd.at[
+                        t * cin:(t + 1) * cin, e * cout:(e + 1) * cout
+                    ].set(w[dy + 1, dx + 1].astype(jnp.float32))
+        blocks.append(wd)
+    return jnp.concatenate(blocks, axis=0)
 
 
-def _conv_taps(shifted, keys, w_ref, w_base: int, l_in: int, l_out: int,
-               tcs: int, m_out: int, base: int = 1):
-    """acc = sum over (dy, u) of dot(shifted[u][(base+dy)*tcs : +m_out], W).
+def _build_operand(a: jnp.ndarray, cin: int) -> jnp.ndarray:
+    """Widen flat packed ``a`` (m, pack*cin) to the (m, (pack+2)*cin)
+    neighbor operand ``[a | prev-pixel | next-pixel]``.
 
-    ``shifted[u]`` are the three dx-shift buffers; the dy slice offsets are
-    multiples of tcs (aligned, free). ``base`` is the row offset of output
-    row 0 within the shifted buffers (1 for a buffer with a 1-row halo,
-    2 for the stem kernel's 2-row-halo intermediate)."""
+    prev[p] = a[p-1, last-pixel block], next[p] = a[p+1, first-pixel
+    block] — one-sublane-shifted slices. Row 0 / row m-1 pick up a clamped
+    duplicate; those rows only ever feed pad-column or halo outputs, which
+    the caller discards (pair-column 0 is a zero-pad column in every row,
+    so within-row neighbor reads never cross a row boundary for kept
+    outputs)."""
+    m = a.shape[0]
+    prev = jnp.concatenate([a[:1, -cin:], a[:-1, -cin:]], axis=0)
+    nxt = jnp.concatenate([a[1:, :cin], a[-1:, :cin]], axis=0)
+    return jnp.concatenate([a, prev, nxt], axis=1)
+
+
+def _conv_mxu(b: jnp.ndarray, w_ref, l_blk: int, l_out: int, tcs: int,
+              m_out: int, base: int) -> jnp.ndarray:
+    """acc = sum over dy of dot(b[(base+dy)*tcs : +m_out], W_dy).
+
+    The dy slice offsets are multiples of tcs (8-aligned, free). ``base``
+    is the row offset of output row 0 within the operand (1 for a 1-row
+    halo, 2 for the stem kernel's 2-row-halo intermediate)."""
     acc = jnp.zeros((m_out, l_out), jnp.float32)
-    for j, (dy, u) in enumerate(keys):
+    for idx, dy in enumerate((-1, 0, 1)):
         start = (base + dy) * tcs
         acc = acc + jax.lax.dot_general(
-            shifted[u][start:start + m_out, :],
-            w_ref[w_base + j * l_in:w_base + (j + 1) * l_in, :],
+            b[start:start + m_out, :],
+            w_ref[idx * l_blk:(idx + 1) * l_blk, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     return acc
-
-
-def _dx_shifts(a, compute_dtype):
-    """Materialize the dx = -1, 0, +1 pixel-shift buffers of flat ``a``.
-
-    shifted[u][p] = a[p + u]; Mosaic sublane rotate needs >=0 shift and
-    32-bit data, so the two real shifts round-trip through f32."""
-    m = a.shape[0]
-    a32 = a.astype(jnp.float32)
-    return {
-        0: a,
-        -1: pltpu.roll(a32, 1, 0).astype(compute_dtype),
-        1: pltpu.roll(a32, m - 1, 0).astype(compute_dtype),
-    }
 
 
 def conv_stage_pallas(
@@ -207,6 +225,7 @@ def conv_stage_pallas(
     wv = w // pack
     tcs = wq_tot if tcv == wv else tcv + 2 * lp
     l_in, l_mid, l_out = pack * cin, pack * cmid, pack * cout
+    bl_in, bl_mid = (pack + 2) * cin, (pack + 2) * cmid
 
     # --- pack + pad input to (h+4, wq_tot, l_in), zeros outside image ----
     xp = jnp.zeros((h + 4, wq_tot * pack, cin), compute_dtype)
@@ -215,47 +234,53 @@ def conv_stage_pallas(
     )
     x_hbm = xp.reshape(h + 4, wq_tot, l_in)
 
-    sched1 = _schedule(jnp.asarray(w1), pack)
-    keys1 = tuple(k for k, _ in sched1)
-    stacked = [m for _, m in sched1]
+    w1f = _w_operand(jnp.asarray(w1), pack).astype(compute_dtype)
+    b1f = jnp.tile(b1.astype(jnp.float32), pack).reshape(1, l_mid)
     if double:
-        sched2 = _schedule(jnp.asarray(w2), pack)
-        keys2 = tuple(k for k, _ in sched2)
-        w2_base_rows = len(stacked) * l_in
-        # pad conv2 blocks to the same row width? separate refs are simpler
-        w2f = jnp.concatenate([m for _, m in sched2], axis=0).astype(
-            compute_dtype
-        )
+        w2f = _w_operand(jnp.asarray(w2), pack).astype(compute_dtype)
         b2f = jnp.tile(b2.astype(jnp.float32), pack).reshape(1, l_out)
     else:
-        keys2 = ()
         w2f = jnp.zeros((1, l_out), compute_dtype)
         b2f = jnp.zeros((1, l_out), jnp.float32)
-    w1f = jnp.concatenate(stacked, axis=0).astype(compute_dtype)
-    b1f = jnp.tile(b1.astype(jnp.float32), pack).reshape(1, l_mid)
 
     m_in = (tr + 4) * tcs
     m_mid = (tr + 2) * tcs
     m_out = tr * tcs
 
+    n_rows = h // tr
     n_cols = wv // tcv
+    n_total = n_rows * n_cols
 
     def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, slab, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        # single column tile: offset is literally 0 (tcv itself may be
-        # unaligned then, and Mosaic cannot prove j*tcv % 8 == 0)
-        col0 = 0 if n_cols == 1 else j * tcv
-        cp = pltpu.make_async_copy(
-            x_ref.at[pl.ds(i * tr, tr + 4), pl.ds(col0, tcs), :],
-            slab, sem,
-        )
-        cp.start()
-        cp.wait()
-        a = slab[...].reshape(m_in, l_in)
+        step = i * n_cols + j
 
-        s = _dx_shifts(a, compute_dtype)
-        acc = _conv_taps(s, keys1, w1_ref, 0, l_in, l_mid, tcs, m_mid)
+        def get_dma(slot, s):
+            ii = s // n_cols
+            jj = s % n_cols
+            # single column tile: offset is literally 0 (tcv itself may be
+            # unaligned then, and Mosaic cannot prove jj*tcv % 8 == 0)
+            col0 = 0 if n_cols == 1 else pl.multiple_of(jj * tcv, 8)
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(ii * tr, tr + 4), pl.ds(col0, tcs), :],
+                slab.at[slot], sem.at[slot],
+            )
+
+        # double-buffered slab: prefetch tile step+1 while computing step
+        @pl.when(step == 0)
+        def _():
+            get_dma(0, 0).start()
+
+        @pl.when(step + 1 < n_total)
+        def _():
+            get_dma((step + 1) % 2, step + 1).start()
+
+        get_dma(step % 2, step).wait()
+        a = slab[step % 2].reshape(m_in, l_in)
+
+        bop = _build_operand(a, cin)
+        acc = _conv_mxu(bop, w1_ref, bl_in, l_mid, tcs, m_mid, base=1)
         h1 = jnp.maximum(acc + b1_ref[...], 0.0)
 
         if double:
@@ -268,8 +293,8 @@ def conv_stage_pallas(
             gy = i * tr + 1 + q // tcs - 2
             valid = (gx >= 0) & (gx < w) & (gy >= 0) & (gy < h)
             h1 = jnp.where(valid, h1, 0.0).astype(compute_dtype)
-            s2 = _dx_shifts(h1, compute_dtype)
-            acc = _conv_taps(s2, keys2, w2_ref, 0, l_mid, l_out, tcs, m_out)
+            bop2 = _build_operand(h1, cmid)
+            acc = _conv_mxu(bop2, w2_ref, bl_mid, l_out, tcs, m_out, base=1)
             y = jnp.maximum(acc + b2_ref[...], 0.0)
         else:
             y = h1[tcs:(tr + 1) * tcs, :]
@@ -283,7 +308,7 @@ def conv_stage_pallas(
 
     out = pl.pallas_call(
         kernel,
-        grid=(h // tr, wv // tcv),
+        grid=(n_rows, n_cols),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -297,14 +322,15 @@ def conv_stage_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((h, wv, l_out), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tr + 4, tcs, l_in), compute_dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tr + 4, tcs, l_in), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 9 * pack * h * w * cin * cmid * (2 if double else 1),
+            flops=2 * h * wv * (pack + 2) * cin * pack * cmid * 3
+            * (2 if double else 1),
             bytes_accessed=(h + 4) * wq_tot * l_in * 2
             + h * wv * l_out * 4,
             transcendentals=0,
@@ -343,18 +369,20 @@ def _stem_geometry(h: int, w: int) -> Optional[Tuple[int, int, int]]:
     wq_tot = _align(lp + wv + lp, 32)
     tcs = wq_tot
     budget = 44 * 1024 * 1024
-    for tr in (32, 16, 8):
+    for tr in _row_tiles(h):
+        if tr > 64:
+            continue
         m_in = (tr + 4) * tcs
         m_out = tr * tcs
         vmem = (
-            m_in * 16 * 2  # P slab (taps in sublanes)
+            2 * m_in * 16 * 2  # double-buffered P slab (taps in sublanes)
             + m_in * 128 * (4 + 2)  # h1 f32 acc + bf16
-            + 3 * m_in * 128 * 2  # dx-shift buffers
-            + m_in * 128 * 4  # f32 roll transient
+            + m_in * 256 * 2  # conv1b neighbor operand
+            + 2 * m_in * 64 * 2  # prev/next transients
             + m_out * 128 * 4  # conv1b f32 accumulator
             + 2 * tr * wv * 128 * 2  # double-buffered out
         )
-        if h % tr == 0 and vmem <= budget:
+        if vmem <= budget:
             return tr, lp, wq_tot
     return None
 
@@ -423,29 +451,40 @@ def stem_stage_pallas(
     tcs = wq_tot
     wv = w // 2
     l_mid, l_out = 2 * cmid, 2 * cout
+    bl_mid = 4 * cmid
 
     pf = _stem_im2col(img, lp, wq_tot, compute_dtype)
     wa = _stem_wa(jnp.asarray(w1a)).astype(compute_dtype)
     ba = jnp.tile(b1a.astype(jnp.float32), 2).reshape(1, l_mid)
-    sched = _schedule(jnp.asarray(w1b), 2)
-    keys = tuple(k for k, _ in sched)
-    wb = jnp.concatenate([m for _, m in sched], axis=0).astype(compute_dtype)
+    wb = _w_operand(jnp.asarray(w1b), 2).astype(compute_dtype)
     bb = jnp.tile(b1b.astype(jnp.float32), 2).reshape(1, l_out)
 
     m_in = (tr + 4) * tcs
     m_out = tr * tcs
+    n_rows = h // tr
 
     def kernel(p_ref, wa_ref, ba_ref, wb_ref, bb_ref, out_ref, slab, sem):
         i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            p_ref.at[:, pl.ds(i * tr * tcs, m_in)], slab, sem,
-        )
-        cp.start()
-        cp.wait()
+
+        def get_dma(slot, s):
+            return pltpu.make_async_copy(
+                p_ref.at[:, pl.ds(s * tr * tcs, m_in)],
+                slab.at[slot], sem.at[slot],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            get_dma(0, 0).start()
+
+        @pl.when(i + 1 < n_rows)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        get_dma(i % 2, i).wait()
         # virtual conv1a: one MXU matmul from raw-pixel taps (contraction
         # over the 16 tap sublanes of the transposed slab)
         acc = jax.lax.dot_general(
-            slab[...], wa_ref[...],
+            slab[i % 2], wa_ref[...],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -459,9 +498,8 @@ def stem_stage_pallas(
         gy = i * tr + q // tcs - 2
         valid = (gx >= 0) & (gx < w) & (gy >= 0) & (gy < h)
         h1 = jnp.where(valid, h1, 0.0).astype(compute_dtype)
-        s = _dx_shifts(h1, compute_dtype)
-        acc2 = _conv_taps(s, keys, wb_ref, 0, l_mid, l_out, tcs, m_out,
-                          base=2)
+        bop = _build_operand(h1, cmid)
+        acc2 = _conv_mxu(bop, wb_ref, bl_mid, l_out, tcs, m_out, base=2)
         y = jnp.maximum(acc2 + bb_ref[...], 0.0)
         if pool:
             # 2x2 maxpool fused: x-pairs are the two 64-lane phase blocks;
@@ -495,7 +533,7 @@ def stem_stage_pallas(
 
     out = pl.pallas_call(
         kernel,
-        grid=(h // tr,),
+        grid=(n_rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # P stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -506,8 +544,8 @@ def stem_stage_pallas(
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((16, m_in), compute_dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 16, m_in), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
