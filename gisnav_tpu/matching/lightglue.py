@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LightGlue", "MatchResult", "match_features"]
+__all__ = ["LightGlue", "MatchResult", "apply_lightglue", "match_features"]
 
 
 class MatchResult(NamedTuple):
@@ -257,6 +257,50 @@ def _extract_matches(scores, mask0, mask1, threshold) -> MatchResult:
     )
 
 
+def apply_lightglue(
+    model: "LightGlue",
+    params,
+    kpts0, desc0, mask0, size0,
+    kpts1, desc1, mask1, size1,
+) -> MatchResult:
+    """Apply a LightGlue model, routing to the fused Mosaic forward on TPU.
+
+    The fused path (``matching/lightglue_fused.py``) runs the same
+    computation over the same param tree as nine whole-layer Pallas blocks;
+    CPU, unsupported shapes, or ``GISNAV_TPU_FORCE_XLA_LG`` fall back to the
+    flax module.
+    """
+    import os
+
+    if (
+        jax.default_backend() not in ("cpu",)
+        and not os.environ.get("GISNAV_TPU_FORCE_XLA_LG")
+    ):
+        from gisnav_tpu.matching.lightglue_fused import (
+            fused_lightglue_supported,
+            lightglue_fused_forward,
+        )
+
+        if fused_lightglue_supported(
+            kpts0.shape[0], kpts1.shape[0], model.dim, model.heads
+        ):
+            return lightglue_fused_forward(
+                params,
+                kpts0, desc0, mask0, size0,
+                kpts1, desc1, mask1, size1,
+                depth=model.depth,
+                heads=model.heads,
+                dim=model.dim,
+                filter_threshold=model.filter_threshold,
+                compute_dtype=model.compute_dtype,
+            )
+    return model.apply(
+        params,
+        kpts0, desc0, mask0, size0,
+        kpts1, desc1, mask1, size1,
+    )
+
+
 def match_features(
     params,
     feats0,
@@ -275,7 +319,8 @@ def match_features(
     model = LightGlue(
         input_dim=input_dim, depth=depth, filter_threshold=filter_threshold
     )
-    return model.apply(
+    return apply_lightglue(
+        model,
         params,
         feats0.keypoints,
         feats0.descriptors,

@@ -34,7 +34,7 @@ from gisnav_tpu.geometry.jaxops import (
     meters_per_degree_jax,
     wgs84_to_ecef_jax,
 )
-from gisnav_tpu.matching.lightglue import LightGlue
+from gisnav_tpu.matching.lightglue import LightGlue, apply_lightglue
 from gisnav_tpu.pnp.dem import gather_elevation
 from gisnav_tpu.pnp.ransac import ransac_pnp
 from gisnav_tpu.raster import rotate_and_crop_auto
@@ -162,7 +162,8 @@ def build_frame_to_geopose(
         f_ref = jax.tree.map(lambda a: a[1], feats)
 
         # 3. attention matching
-        match = lg.apply(
+        match = apply_lightglue(
+            lg,
             params["lightglue"],
             f_qry.keypoints, f_qry.descriptors, f_qry.mask, (h, w),
             f_ref.keypoints, f_ref.descriptors, f_ref.mask, (h, w),
@@ -488,7 +489,8 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
             r = jnp.asarray(prior_radius, jnp.float32)
             ref_mask = ref_mask & ((r <= 0) | (d2 <= r * r))
 
-        match = lg.apply(
+        match = apply_lightglue(
+            lg,
             params["lightglue"],
             f_qry.keypoints, f_qry.descriptors, f_qry.mask, (h, w),
             ref_feats.keypoints, ref_feats.descriptors, ref_mask,

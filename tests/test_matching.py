@@ -94,6 +94,95 @@ class TestLightGlue:
         assert res.matches0.shape == (32,)
 
 
+class TestLightGlueFused:
+    """The fused Mosaic forward restructures the flax computation (rotary via
+    weight permutation, concat-free FFN, 2D head layout). On CPU its blocks
+    run through the XLA reference mirror, so this validates the restructure
+    itself; the Pallas kernels are covered by test_tpu_parity.py."""
+
+    def _pair(self, k=512, depth=2):
+        rng = np.random.default_rng(7)
+        f0 = _fake_feats(rng, k, n_valid=k - 37)
+        # correlated descriptors so real (high-score) matches exist
+        d1 = np.asarray(f0.descriptors) + 0.1 * rng.normal(size=(k, 256))
+        d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+        f1 = SuperPointFeatures(
+            keypoints=f0.keypoints + 3.0,
+            scores=f0.scores,
+            descriptors=jnp.asarray(d1.astype(np.float32)),
+            mask=jnp.asarray(np.arange(k) < k - 11),
+        )
+        model = LightGlue(depth=depth)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            f0.keypoints, f0.descriptors, f0.mask, (480, 640),
+            f1.keypoints, f1.descriptors, f1.mask, (480, 640),
+        )
+        return model, params, f0, f1
+
+    def test_supported_gate(self):
+        from gisnav_tpu.matching.lightglue_fused import fused_lightglue_supported
+
+        assert fused_lightglue_supported(2048, 4096, 256, 4)
+        assert not fused_lightglue_supported(2048, 4096 + 64, 256, 4)
+        assert not fused_lightglue_supported(2048, 4096, 128, 4)
+
+    def test_matches_flax_module(self):
+        from gisnav_tpu.matching.lightglue_fused import lightglue_fused_forward
+
+        model, params, f0, f1 = self._pair()
+        ref = model.apply(
+            params,
+            f0.keypoints, f0.descriptors, f0.mask, (480, 640),
+            f1.keypoints, f1.descriptors, f1.mask, (480, 640),
+        )
+        got = lightglue_fused_forward(
+            params,
+            f0.keypoints, f0.descriptors, f0.mask, (480, 640),
+            f1.keypoints, f1.descriptors, f1.mask, (480, 640),
+            depth=model.depth,
+        )
+        ref_s = np.asarray(ref.scores)
+        got_s = np.asarray(got.scores)
+        assert np.abs(ref_s - got_s).max() < 0.02
+        agree = (np.asarray(ref.matches0) == np.asarray(got.matches0)).mean()
+        assert agree > 0.98
+
+    def test_fused_block_grad_matches_reference(self):
+        """custom_vjp backward recomputes through the XLA mirror."""
+        from gisnav_tpu.matching import lightglue_fused as lgf
+
+        rng = np.random.default_rng(1)
+        k, dim, heads = 512, 256, 4
+        x = jnp.asarray(rng.normal(0, 1, (k, dim)).astype(np.float32))
+        q = jnp.asarray(rng.normal(0, 1, (k, dim)).astype(np.float32))
+        bias = jnp.zeros((1, k), jnp.float32)
+        wout = jnp.asarray(rng.normal(0, 0.05, (dim, dim)).astype(np.float32))
+        bout = jnp.zeros((1, dim))
+        w1x = jnp.asarray(rng.normal(0, 0.05, (dim, 2 * dim)).astype(np.float32))
+        w1m = jnp.asarray(rng.normal(0, 0.05, (dim, 2 * dim)).astype(np.float32))
+        b1 = jnp.zeros((1, 2 * dim))
+        lns = jnp.ones((1, 2 * dim))
+        lnb = jnp.zeros((1, 2 * dim))
+        w2 = jnp.asarray(rng.normal(0, 0.05, (2 * dim, dim)).astype(np.float32))
+        b2 = jnp.zeros((1, dim))
+        args = (q.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                q.astype(jnp.bfloat16), bias, wout, bout, w1x, w1m, b1,
+                lns, lnb, w2, b2)
+
+        def loss_fused(xv):
+            return jnp.sum(lgf.fused_block(xv, *args, 4) ** 2)
+
+        def loss_ref(xv):
+            return jnp.sum(lgf._block_reference(xv, *args, heads=4) ** 2)
+
+        g_fused = jax.grad(loss_fused)(x)
+        g_ref = jax.grad(loss_ref)(x)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+        )
+
+
 class TestRootSift:
     def test_matches_reference_formula(self, rng):
         desc = rng.uniform(0, 255, (10, 128)).astype(np.float32)

@@ -196,6 +196,39 @@ class TestAttention:
         assert np.abs(got - ref).mean() < 0.005
 
 
+class TestLightGlueFused:
+    def test_fused_forward_matches_flax(self, nprng):
+        """Whole-layer Mosaic blocks vs the flax module on the TPU backend."""
+        from gisnav_tpu.matching import lightglue as lg
+        from gisnav_tpu.matching.lightglue_fused import (
+            fused_lightglue_supported,
+            lightglue_fused_forward,
+        )
+
+        k0, k1, dim, depth = 1024, 1536, 256, 9
+        h, w = 1080, 1920
+        assert fused_lightglue_supported(k0, k1, dim, 4)
+        model = lg.LightGlue(input_dim=dim, depth=depth)
+        kp0 = jnp.asarray(nprng.uniform(0, (w, h), (k0, 2)).astype(np.float32))
+        kp1 = jnp.asarray(nprng.uniform(0, 2048, (k1, 2)).astype(np.float32))
+        d0 = jnp.asarray(nprng.normal(0, 1, (k0, dim)).astype(np.float32))
+        d1 = jnp.asarray(nprng.normal(0, 1, (k1, dim)).astype(np.float32))
+        m0 = jnp.asarray(nprng.uniform(size=k0) > 0.1)
+        m1 = jnp.asarray(nprng.uniform(size=k1) > 0.1)
+        params = model.init(jax.random.PRNGKey(0), kp0, d0, m0, (h, w),
+                            kp1, d1, m1, (2048, 2048))
+        ref = model.apply(params, kp0, d0, m0, (h, w),
+                          kp1, d1, m1, (2048, 2048))
+        got = lightglue_fused_forward(params, kp0, d0, m0, (h, w),
+                                      kp1, d1, m1, (2048, 2048), depth=depth)
+        # random descriptors = near-uniform assignment; still expect bf16-level
+        # agreement through 9 layers
+        assert np.abs(np.asarray(ref.scores) - np.asarray(got.scores)).max() \
+            < 0.15
+        agree = (np.asarray(ref.matches0) == np.asarray(got.matches0)).mean()
+        assert agree > 0.98
+
+
 class TestShear:
     def test_rotate_crop_pallas_vs_gather(self, nprng):
         from gisnav_tpu.raster.shear import rotate_and_crop_center_shear

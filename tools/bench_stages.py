@@ -108,13 +108,69 @@ def main():
         "stage4(128->128->128)": 2 * (h//8) * (w//8) * 9 * 128 * 128 * 2,
         "head(128->256)": 2 * (h//8) * (w//8) * 9 * 128 * 256,
     }
-    total = 0.0
-    for name, (fn, inp) in stages.items():
-        ms = _timed(fn, inp, reps=args.reps, inner=args.inner)
-        total += ms
-        tf = flops[name] / (ms * 1e-3) / 1e12
-        print(f"{name:30s} {ms:7.3f} ms  {tf:6.1f} TF/s")
-    print(f"{'TRUNK TOTAL':30s} {total:7.3f} ms")
+    if args.what in ("trunk", "all"):
+        total = 0.0
+        for name, (fn, inp) in stages.items():
+            ms = _timed(fn, inp, reps=args.reps, inner=args.inner)
+            total += ms
+            tf = flops[name] / (ms * 1e-3) / 1e12
+            print(f"{name:30s} {ms:7.3f} ms  {tf:6.1f} TF/s")
+        print(f"{'TRUNK TOTAL':30s} {total:7.3f} ms")
+
+    if args.what in ("lightglue", "all"):
+        bench_lightglue(args, rng)
+
+
+def bench_lightglue(args, rng):
+    """Breakdown of the LightGlue-9 matcher at 2048 vs 4096 keypoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from gisnav_tpu.matching import lightglue as lg
+
+    k0, k1, dim, depth = 2048, 4096, 256, 9
+    h, w = args.hw
+    model = lg.LightGlue(input_dim=dim, depth=depth)
+    kp0 = jnp.asarray(
+        rng.uniform(0, (h, w), (k0, 2)).astype(np.float32))
+    kp1 = jnp.asarray(
+        rng.uniform(0, 2048, (k1, 2)).astype(np.float32))
+    d0 = jnp.asarray(rng.normal(0, 1, (k0, dim)).astype(np.float32))
+    d1 = jnp.asarray(rng.normal(0, 1, (k1, dim)).astype(np.float32))
+    m0 = jnp.ones(k0, bool)
+    m1 = jnp.ones(k1, bool)
+    params = model.init(jax.random.PRNGKey(0), kp0, d0, m0, (h, w),
+                        kp1, d1, m1, (2048, 2048))
+
+    def full(d0v):
+        res = model.apply(params, kp0, d0v, m0, (h, w),
+                          kp1, d1, m1, (2048, 2048))
+        return res.scores
+
+    ms_full = _timed(full, d0, reps=args.reps, inner=args.inner)
+    print(f"{'lightglue-9 full':30s} {ms_full:7.3f} ms")
+
+    # attention-only cost: the 4 attention calls per layer at bench shapes
+    from gisnav_tpu.matching.pallas_attention import masked_attention_pallas
+
+    q0 = jnp.asarray(rng.normal(0, 1, (k0, 4, 64)).astype(np.float32))
+    q1 = jnp.asarray(rng.normal(0, 1, (k1, 4, 64)).astype(np.float32))
+
+    def attn_layer(x):
+        a = masked_attention_pallas(x, x, x, m0, jnp.bfloat16)  # self0
+        b = masked_attention_pallas(q1, q1, q1, m1, jnp.bfloat16)  # self1
+        c = masked_attention_pallas(x, q1, q1, m1, jnp.bfloat16)  # cross0
+        e = masked_attention_pallas(q1, x, x, m0, jnp.bfloat16)  # cross1
+        return a + c + e[:k0] + b[:k0]
+
+    def attn9(x):
+        for _ in range(depth):
+            x = attn_layer(x) * 1e-3
+        return x
+
+    ms_attn = _timed(attn9, q0, reps=args.reps, inner=max(1, args.inner // 4))
+    print(f"{'attention x9 (4 calls/layer)':30s} {ms_attn:7.3f} ms")
+    print(f"{'rest (dense+elementwise)':30s} {ms_full - ms_attn:7.3f} ms")
 
 
 if __name__ == "__main__":
