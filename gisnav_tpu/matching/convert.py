@@ -46,6 +46,32 @@ def _dense(flat: Mapping[str, np.ndarray], name: str, required=True):
     return out
 
 
+def _qkv_deinterleave(dense: Dict, heads: int) -> Dict:
+    """Fix the fused-projection row order of the official ``Wqkv``.
+
+    The official ``SelfBlock`` unpacks its fused projection with
+    ``qkv.unflatten(-1, (num_heads, -1, 3))`` — output order
+    ``(head, head_dim, 3)``, i.e. q/k/v INTERLEAVED per scalar — while this
+    framework's module reshapes to ``(head, 3, head_dim)`` (component-major).
+    Permute the already-transposed flax kernel columns / bias entries from
+    ``h*3*dh + d*3 + comp`` to ``h*3*dh + comp*dh + d``.
+    """
+    kernel = dense["kernel"]  # (in, 3*dim)
+    out_dim = kernel.shape[1]
+    dh = out_dim // 3 // heads
+    kernel = (
+        kernel.reshape(-1, heads, dh, 3)
+        .transpose(0, 1, 3, 2)
+        .reshape(-1, out_dim)
+    )
+    out = {"kernel": np.ascontiguousarray(kernel)}
+    if "bias" in dense:
+        out["bias"] = np.ascontiguousarray(
+            dense["bias"].reshape(heads, dh, 3).transpose(0, 2, 1).reshape(-1)
+        )
+    return out
+
+
 def _ffn(flat, prefix: str) -> Dict:
     """Sequential(Linear(2d,2d), LayerNorm, GELU, Linear(2d,d))."""
     fc1 = _dense(flat, f"{prefix}.0")
@@ -60,10 +86,12 @@ def _ffn(flat, prefix: str) -> Dict:
 
 
 def lightglue_params_from_torch(state_dict: Mapping[str, object],
-                                depth: int = 9) -> Dict:
+                                depth: int = 9, heads: int = 4) -> Dict:
     """Convert an official LightGlue state dict to this framework's params.
 
     :param depth: number of transformer layers to take (<= checkpoint depth)
+    :param heads: attention head count (needed to unscramble the fused
+        ``Wqkv`` projection's interleaved output order)
     """
     flat = {k: _to_numpy(v) for k, v in state_dict.items()}
     # how many layers does the checkpoint have?
@@ -82,14 +110,25 @@ def lightglue_params_from_torch(state_dict: Mapping[str, object],
         raise ValueError(f"requested depth {depth} > checkpoint depth "
                          f"{len(layer_ids)}")
 
+    input_proj = _dense(flat, "input_proj", required=False)
+    if input_proj is None:
+        # superpoint-variant checkpoints (input_dim == dim) carry no
+        # input projection (nn.Identity in the official model); this
+        # framework's module always projects, so synthesize identity
+        dim = flat["posenc.Wr.weight"].shape[0] * 2 * heads
+        input_proj = {
+            "kernel": np.eye(dim, dtype=np.float32),
+            "bias": np.zeros(dim, np.float32),
+        }
     params: Dict = {
-        "input_proj": _dense(flat, "input_proj"),
+        "input_proj": input_proj,
         "posenc": {"Wr": _dense(flat, "posenc.Wr")},
     }
     for i in range(depth):
         p = f"transformers.{i}"
         params[f"self_{i}"] = {
-            "Wqkv": _dense(flat, f"{p}.self_attn.Wqkv"),
+            "Wqkv": _qkv_deinterleave(
+                _dense(flat, f"{p}.self_attn.Wqkv"), heads),
             "out_proj": _dense(flat, f"{p}.self_attn.out_proj"),
             "ffn": _ffn(flat, f"{p}.self_attn.ffn"),
         }

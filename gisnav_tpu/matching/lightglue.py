@@ -111,13 +111,14 @@ class _FFN(nn.Module):
 
     dim: int
     compute_dtype: jnp.dtype
+    gelu_approximate: bool = True
 
     @nn.compact
     def __call__(self, x, message):
         y = jnp.concatenate([x, message], axis=-1)
         y = nn.Dense(2 * self.dim, name="fc1", dtype=self.compute_dtype)(y)
         y = nn.LayerNorm(name="norm", dtype=jnp.float32)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=self.gelu_approximate)
         y = nn.Dense(self.dim, name="fc2", dtype=self.compute_dtype)(y)
         return x + y.astype(x.dtype)
 
@@ -126,6 +127,7 @@ class _SelfBlock(nn.Module):
     dim: int
     heads: int
     compute_dtype: jnp.dtype
+    gelu_approximate: bool = True
 
     @nn.compact
     def __call__(self, x, cos, sin, mask):
@@ -139,7 +141,8 @@ class _SelfBlock(nn.Module):
         msg = _attention(q, k, v, mask, self.compute_dtype)
         msg = msg.reshape(x.shape[0], self.dim)
         msg = nn.Dense(self.dim, name="out_proj", dtype=self.compute_dtype)(msg)
-        return _FFN(self.dim, self.compute_dtype, name="ffn")(x, msg)
+        return _FFN(self.dim, self.compute_dtype, self.gelu_approximate,
+                    name="ffn")(x, msg)
 
 
 class _CrossBlock(nn.Module):
@@ -148,6 +151,7 @@ class _CrossBlock(nn.Module):
     dim: int
     heads: int
     compute_dtype: jnp.dtype
+    gelu_approximate: bool = True
 
     @nn.compact
     def __call__(self, x0, x1, mask0, mask1):
@@ -164,7 +168,8 @@ class _CrossBlock(nn.Module):
         m1 = _attention(qk1, qk0, v0, mask0, self.compute_dtype)
         m0 = out(m0.reshape(-1, self.dim))
         m1 = out(m1.reshape(-1, self.dim))
-        ffn = _FFN(self.dim, self.compute_dtype, name="ffn")
+        ffn = _FFN(self.dim, self.compute_dtype, self.gelu_approximate,
+                   name="ffn")
         return ffn(x0, m0), ffn(x1, m1)
 
 
@@ -181,6 +186,10 @@ class LightGlue(nn.Module):
     depth: int = 9
     filter_threshold: float = 0.1
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # tanh-approximate gelu is the TPU-fast default; converted official
+    # checkpoints were trained with exact (erf) gelu — pass False for
+    # value-level fidelity (see matching/convert.py, tests/test_convert_values)
+    gelu_approximate: bool = True
 
     @nn.compact
     def __call__(
@@ -206,11 +215,11 @@ class LightGlue(nn.Module):
 
         for i in range(self.depth):
             sb = _SelfBlock(self.dim, self.heads, self.compute_dtype,
-                            name=f"self_{i}")
+                            self.gelu_approximate, name=f"self_{i}")
             x0 = sb(x0, cos0, sin0, mask0)
             x1 = sb(x1, cos1, sin1, mask1)
             cb = _CrossBlock(self.dim, self.heads, self.compute_dtype,
-                             name=f"cross_{i}")
+                             self.gelu_approximate, name=f"cross_{i}")
             x0, x1 = cb(x0, x1, mask0, mask1)
 
         # Assignment head
@@ -293,6 +302,7 @@ def apply_lightglue(
                 dim=model.dim,
                 filter_threshold=model.filter_threshold,
                 compute_dtype=model.compute_dtype,
+                gelu_approximate=model.gelu_approximate,
             )
     return model.apply(
         params,

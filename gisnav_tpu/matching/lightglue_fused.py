@@ -66,15 +66,17 @@ def fused_lightglue_supported(k0: int, k1: int, dim: int, heads: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _gelu_tanh(x):
-    # flax nn.gelu(approximate=True)
-    c = np.sqrt(2.0 / np.pi).astype(np.float32)
-    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+def _gelu(x, approximate: bool):
+    if approximate:  # flax nn.gelu(approximate=True)
+        c = np.sqrt(2.0 / np.pi).astype(np.float32)
+        return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+    # exact (erf) gelu: official LightGlue checkpoints use nn.GELU()
+    return 0.5 * x * (1.0 + jax.lax.erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
-def _block_kernel(heads, dh, scale, x_ref, q_ref, k_ref, v_ref, bias_ref,
-                  wout_ref, bout_ref, w1x_ref, w1m_ref, b1_ref, lns_ref,
-                  lnb_ref, w2_ref, b2_ref, out_ref, msg):
+def _block_kernel(heads, dh, scale, gelu_approximate, x_ref, q_ref, k_ref,
+                  v_ref, bias_ref, wout_ref, bout_ref, w1x_ref, w1m_ref,
+                  b1_ref, lns_ref, lnb_ref, w2_ref, b2_ref, out_ref, msg):
     for h in range(heads):
         qh = q_ref[:, h * dh:(h + 1) * dh]
         kh = k_ref[:, h * dh:(h + 1) * dh]
@@ -117,7 +119,7 @@ def _block_kernel(heads, dh, scale, x_ref, q_ref, k_ref, v_ref, bias_ref,
     mu = jnp.mean(y, axis=1, keepdims=True)
     var = jnp.maximum(jnp.mean(y * y, axis=1, keepdims=True) - mu * mu, 0.0)
     yn = (y - mu) * jax.lax.rsqrt(var + _LN_EPS) * lns_ref[...] + lnb_ref[...]
-    g = _gelu_tanh(yn)
+    g = _gelu(yn, gelu_approximate)
     y2 = jax.lax.dot_general(
         g.astype(q_ref.dtype), w2_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -129,7 +131,7 @@ def _block_kernel(heads, dh, scale, x_ref, q_ref, k_ref, v_ref, bias_ref,
 
 
 def _block_pallas(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
-                  w2, b2, *, heads: int):
+                  w2, b2, *, heads: int, gelu_approximate: bool = True):
     """One fused transformer block: x + FFN([x | out_proj(attn(q, k, v))]).
 
     :param x: (Kq, dim) f32 residual stream
@@ -143,7 +145,8 @@ def _block_pallas(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
     dh = dim // heads
     scale = 1.0 / float(dh) ** 0.5
 
-    kernel = functools.partial(_block_kernel, heads, dh, scale)
+    kernel = functools.partial(_block_kernel, heads, dh, scale,
+                               gelu_approximate)
     const = lambda i: (0, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
@@ -181,7 +184,7 @@ def _block_pallas(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
 
 
 def _block_reference(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
-                     w2, b2, *, heads: int):
+                     w2, b2, *, heads: int, gelu_approximate: bool = True):
     """XLA mirror of the fused block (backward pass + CPU parity)."""
     kq, dim = x.shape
     kk = k.shape[0]
@@ -208,35 +211,38 @@ def _block_reference(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
     mu = jnp.mean(y, axis=1, keepdims=True)
     var = jnp.maximum(jnp.mean(y * y, axis=1, keepdims=True) - mu * mu, 0.0)
     yn = (y - mu) * jax.lax.rsqrt(var + _LN_EPS) * lns + lnb
-    g = _gelu_tanh(yn)
+    g = _gelu(yn, gelu_approximate)
     y2 = jnp.dot(g.astype(q.dtype), w2,
                  preferred_element_type=jnp.float32) + b2
     y2 = y2.astype(q.dtype).astype(jnp.float32)
     return x.astype(jnp.float32) + y2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
 def fused_block(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
-                w2, b2, heads=4):
+                w2, b2, heads=4, gelu_approximate=True):
     if jax.default_backend() in ("cpu",):
         return _block_reference(x, q, k, v, bias_k, wout, bout, w1x, w1m,
-                                b1, lns, lnb, w2, b2, heads=heads)
+                                b1, lns, lnb, w2, b2, heads=heads,
+                                gelu_approximate=gelu_approximate)
     return _block_pallas(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1,
-                         lns, lnb, w2, b2, heads=heads)
+                         lns, lnb, w2, b2, heads=heads,
+                         gelu_approximate=gelu_approximate)
 
 
 def _fused_block_fwd(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
-                     w2, b2, heads):
+                     w2, b2, heads, gelu_approximate):
     out = fused_block(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns,
-                      lnb, w2, b2, heads)
+                      lnb, w2, b2, heads, gelu_approximate)
     return out, (x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
                  w2, b2)
 
 
-def _fused_block_bwd(heads, residuals, g):
+def _fused_block_bwd(heads, gelu_approximate, residuals, g):
     args = residuals
     out, vjp = jax.vjp(
-        lambda *a: _block_reference(*a, heads=heads), *args)
+        lambda *a: _block_reference(
+            *a, heads=heads, gelu_approximate=gelu_approximate), *args)
     grads = vjp(g.astype(out.dtype))
     return grads
 
@@ -316,6 +322,7 @@ def lightglue_fused_forward(
     dim: int = 256,
     filter_threshold: float = 0.1,
     compute_dtype=jnp.bfloat16,
+    gelu_approximate: bool = True,
 ) -> MatchResult:
     """Run the LightGlue forward with fused Mosaic layer blocks.
 
@@ -370,7 +377,8 @@ def lightglue_fused_forward(
             k = _rotate_halfsplit(qkv[:, dim:2 * dim], cos, sin, heads, dh) \
                 .astype(cd)
             v = qkv[:, 2 * dim:]
-            return fused_block(x, q, k, v, bias, wout, bout, *fw, heads)
+            return fused_block(x, q, k, v, bias, wout, bout, *fw, heads,
+                               gelu_approximate)
 
         x0 = self_block(x0, cos0, sin0, bias0)
         x1 = self_block(x1, cos1, sin1, bias1)
@@ -389,8 +397,10 @@ def lightglue_fused_forward(
         qk1 = x1.astype(cd) @ wqk + bqk
         v0 = x0.astype(cd) @ wv + bv
         v1 = x1.astype(cd) @ wv + bv
-        x0n = fused_block(x0, qk0, qk1, v1, bias1, wo, bo, *fw, heads)
-        x1n = fused_block(x1, qk1, qk0, v0, bias0, wo, bo, *fw, heads)
+        x0n = fused_block(x0, qk0, qk1, v1, bias1, wo, bo, *fw, heads,
+                          gelu_approximate)
+        x1n = fused_block(x1, qk1, qk0, v0, bias0, wo, bo, *fw, heads,
+                          gelu_approximate)
         x0, x1 = x0n, x1n
 
     # ---- assignment head (XLA; small) -----------------------------------
