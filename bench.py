@@ -30,8 +30,8 @@ def main():
 
     # persistent compile cache: the 1080p program compiles in minutes cold,
     # milliseconds warm
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gisnav_tpu_jit_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from gisnav_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()
 
     from gisnav_tpu.geometry.crs import pixel_to_wgs84_affine
     from gisnav_tpu.pipeline import (
@@ -61,7 +61,20 @@ def main():
         max_keypoints=max_kp,
         lightglue_depth=9,
     )
-    params = init_pipeline_params(jax.random.PRNGKey(0), config)
+    # run the bundled learned SuperPoint + LightGlue-9 weights (the headline
+    # architecture); conv/attention params are resolution-independent, so the
+    # same tree serves every image_shape/max_keypoints. Random init only as
+    # fallback (FLOPs are identical either way).
+    weights_name = "learned_lg9"
+    try:
+        from gisnav_tpu.pipeline.runners import load_bundled
+
+        # load_npz returns host numpy arrays; pin them on device once or
+        # every run() re-uploads ~50 MB of params through the dev tunnel
+        params = jax.device_put(load_bundled(weights_name)[0])
+    except Exception:
+        weights_name = "random_init"
+        params = init_pipeline_params(jax.random.PRNGKey(0), config)
     frame_fn = build_frame_to_geopose_cached(config)
     extract_ref_fn = build_reference_extractor(config)
     extract_ref = jax.jit(extract_ref_fn)
@@ -149,6 +162,68 @@ def main():
     sustained = 1.0 / (per_frame + refresh_s / frames)
     fps = sustained
 
+    # second measurement at the ACCURACY-VALIDATED config (one config, both
+    # numbers): harris_lg5 at 480x640 / 512 kp in cached mode is the weight
+    # set that passes the 10/10-at-10-m sweep (tests/test_cached_runner.py,
+    # tests/test_envelope.py); report its device FPS alongside the headline
+    validated = None
+    if on_tpu:
+        try:
+            from gisnav_tpu.pipeline.runners import load_bundled
+            import dataclasses as _dc
+
+            v_params, v_cfg = load_bundled("harris_lg5")
+            v_params = jax.device_put(v_params)
+            v_cfg = _dc.replace(v_cfg, ortho_shape=(1024, 1024))
+            v_frame_fn = build_frame_to_geopose_cached(v_cfg)
+            v_extract_fn = build_reference_extractor(v_cfg)
+            vh, vw = v_cfg.image_shape
+            v_ring = jnp.asarray(
+                rng.uniform(0, 1, (n_ring, vh, vw)).astype(np.float32))
+            v_ortho = jnp.asarray(
+                rng.uniform(0, 1, (1024, 1024)).astype(np.float32))
+            v_dem = jnp.zeros((1024, 1024), jnp.float32)
+            v_k = jnp.asarray(np.array(
+                [[400.0, 0, vw / 2], [0, 400.0, vh / 2], [0, 0, 1]]),
+                jnp.float32)
+            v_aff = jnp.asarray(
+                pixel_to_wgs84_affine(1024, 1024, 24.0, 60.0, 24.02, 60.01),
+                jnp.float32)
+
+            def v_scan(params, ring, ref_feats, dem, k, aff, key):
+                def body(carry, i):
+                    pose = v_frame_fn(
+                        params, ring[i % n_ring], ref_feats, dem, k, aff,
+                        jax.random.fold_in(key, i),
+                    )
+                    return carry + jnp.sum(
+                        jnp.nan_to_num(pose.ecef_position)
+                    ) + pose.num_inliers.astype(jnp.float32), None
+
+                return jax.lax.scan(body, jnp.float32(0.0),
+                                    jnp.arange(frames, dtype=jnp.int32))[0]
+
+            v_run = jax.jit(v_scan)
+            v_ref = jax.jit(v_extract_fn)(v_params, v_ortho)
+            _ = np.asarray(v_run(v_params, v_ring, v_ref, v_dem, v_k, v_aff,
+                                 jax.random.PRNGKey(1)))
+            v_times = []
+            for r in range(reps):
+                t0 = time.perf_counter()
+                _ = np.asarray(v_run(v_params, v_ring, v_ref, v_dem, v_k,
+                                     v_aff, jax.random.PRNGKey(2 + r)))
+                v_times.append(time.perf_counter() - t0)
+            v_per_frame = (float(np.median(v_times)) - rtt) / frames
+            validated = {
+                "config": "640x480_512kp_harris_lg5_cached",
+                "fps": round(1.0 / v_per_frame, 2),
+                "p50_latency_ms": round(v_per_frame * 1e3, 2),
+                "accuracy": "10/10 fixes <10 m on the e2e sweep at this "
+                            "config (test_cached_runner/test_envelope)",
+            }
+        except Exception as e:  # never fail the headline metric
+            validated = {"error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "frame_to_geopose_fps_1080p_2048kp",
         "value": round(fps, 2),
@@ -160,6 +235,8 @@ def main():
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
+        "weights": weights_name,
+        "validated_config": validated,
     }))
 
 

@@ -231,35 +231,42 @@ def assemble_geopose(r, t, m_crop, crs_affine):
     :return: (ecef_position (3,), ecef_quat xyzw (4,), lon_lat_alt (3,),
         cam_pos_raster (3,))
     """
-    cam_pos = -r.T @ t  # camera center in cropped-raster frame
+    # Absolute-coordinate math MUST NOT go through the MXU's default bf16
+    # matmul precision: the affine's translation column holds absolute
+    # lon/lat (e.g. 24.013 deg), and bf16's ~8-bit mantissa truncates that
+    # to 24.0 — a multi-km geolocation error that only appears ON TPU (CPU
+    # matmuls are f32, which is why the CPU e2e suite never saw it).
+    with jax.default_matmul_precision("float32"):
+        cam_pos = -r.T @ t  # camera center in cropped-raster frame
 
-    # CRS affine for the CROPPED frame: crs @ embed(cropped->original).
-    # The z row scales by the crop's isotropic pixel scale (GSD-matched
-    # crops resample: 1 crop px = zoom original px; the PnP camera z is in
-    # CROP pixel units and crs_affine's z codec is per ORIGINAL px)
-    crop_scale = jnp.sqrt(jnp.abs(jnp.linalg.det(m_crop[:2, :2])))
-    embed = jnp.eye(4).at[:2, :2].set(m_crop[:2, :2]).at[:2, 3].set(
-        m_crop[:2, 2]
-    ).at[2, 2].set(crop_scale)
-    aff = crs_affine @ embed
-    lla = aff @ jnp.concatenate([cam_pos, jnp.ones(1)])
-    lon, lat, alt = lla[0], lla[1], lla[2]
-    ecef = wgs84_to_ecef_jax(lon, lat, alt)
+        # CRS affine for the CROPPED frame: crs @ embed(cropped->original).
+        # The z row scales by the crop's isotropic pixel scale (GSD-matched
+        # crops resample: 1 crop px = zoom original px; the PnP camera z is in
+        # CROP pixel units and crs_affine's z codec is per ORIGINAL px)
+        crop_scale = jnp.sqrt(jnp.abs(jnp.linalg.det(m_crop[:2, :2])))
+        embed = jnp.eye(4).at[:2, :2].set(m_crop[:2, :2]).at[:2, 3].set(
+            m_crop[:2, 2]
+        ).at[2, 2].set(crop_scale)
+        aff = crs_affine @ embed
+        lla = aff @ jnp.concatenate([cam_pos, jnp.ones(1)])
+        lon, lat, alt = lla[0], lla[1], lla[2]
+        ecef = wgs84_to_ecef_jax(lon, lat, alt)
 
     # orientation: raster(ESD px) -> ENU. The reference normalizes the
     # affine's columns directly (pose_node.py:371-373), which skews heading
     # by the degree anisotropy (a lon-degree is cos(lat) shorter than a
     # lat-degree); we rescale rows to meters first so the linear part
     # becomes a true similarity before normalization.
-    m_lon, m_lat = meters_per_degree_jax(lat)
-    metric = jnp.diag(jnp.stack([m_lon, m_lat, jnp.ones(())]))
-    r_cols = metric @ aff[:3, :3]
-    r_enu = r_cols / jnp.maximum(
-        jnp.linalg.norm(r_cols, axis=0, keepdims=True), 1e-12
-    )
-    cam_rot_enu = r_enu @ r.T
-    r_ecef = enu_to_ecef_matrix_jax(lon, lat) @ cam_rot_enu
-    quat = matrix_to_quat_jax(r_ecef)
+    with jax.default_matmul_precision("float32"):
+        m_lon, m_lat = meters_per_degree_jax(lat)
+        metric = jnp.diag(jnp.stack([m_lon, m_lat, jnp.ones(())]))
+        r_cols = metric @ aff[:3, :3]
+        r_enu = r_cols / jnp.maximum(
+            jnp.linalg.norm(r_cols, axis=0, keepdims=True), 1e-12
+        )
+        cam_rot_enu = r_enu @ r.T
+        r_ecef = enu_to_ecef_matrix_jax(lon, lat) @ cam_rot_enu
+        quat = matrix_to_quat_jax(r_ecef)
     return ecef, quat, jnp.stack([lon, lat, alt]), cam_pos
 
 

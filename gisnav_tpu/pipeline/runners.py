@@ -83,6 +83,11 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
         from gisnav_tpu.weights import load_pretrained
 
         params = load_pretrained()
+    # params trees loaded from npz are host numpy arrays: without an explicit
+    # device_put every jitted call re-uploads the full tree (tens of MB) --
+    # measured 3x frame-time loss through the dev tunnel, and wasted PCIe
+    # bandwidth on-host
+    params = jax.device_put(params)
     fn = build_frame_to_geopose(config)
     cache: Dict[Tuple[int, int], object] = {}
     counter = {"n": 0}
@@ -140,6 +145,7 @@ def make_semidense_runner(params=None,
         PRETRAINED_CONFIG, max_keypoints=1024)
     if params is None:
         params = init_semidense_params(jrandom.PRNGKey(seed), config)
+    params = jax.device_put(params)
     fn = build_frame_to_geopose_semidense(config)
     cache: Dict[Tuple[int, int], object] = {}
     counter = {"n": 0}
@@ -188,6 +194,11 @@ def make_cached_deep_runner(params=None,
         from gisnav_tpu.weights import load_pretrained
 
         params = load_pretrained()
+    # params trees loaded from npz are host numpy arrays: without an explicit
+    # device_put every jitted call re-uploads the full tree (tens of MB) --
+    # measured 3x frame-time loss through the dev tunnel, and wasted PCIe
+    # bandwidth on-host
+    params = jax.device_put(params)
     # per-ortho-shape compiled programs (map sizes are stable per camera)
     extract_jit: Dict[Tuple[int, int], object] = {}
     frame_jit: Dict[Tuple[int, int], object] = {}

@@ -229,6 +229,38 @@ class TestLightGlueFused:
         assert agree > 0.98
 
 
+class TestGeoposeAssemblyPrecision:
+    def test_absolute_lonlat_not_bf16_truncated(self, nprng):
+        """assemble_geopose must force f32 matmul precision: the default TPU
+        MXU bf16 path truncates the CRS affine's absolute-lon/lat translation
+        column (24.013 deg -> 24.0 = km-scale error). Regression for the bug
+        found by tools/sweep_headline.py (CPU runs never exercise it)."""
+        import numpy as np
+
+        from gisnav_tpu.geometry.crs import pixel_to_wgs84_affine
+        from gisnav_tpu.pipeline.geopose import assemble_geopose
+
+        aff = jnp.asarray(
+            pixel_to_wgs84_affine(800, 800, 24.013, 60.0115, 24.0669,
+                                  60.0385),
+            jnp.float32,
+        )
+        # nadir-ish pose in raster px
+        r = jnp.asarray(np.diag([1.0, 1.0, 1.0]).astype(np.float32))
+        t = jnp.asarray(np.array([-395.0, -400.0, 133.0], np.float32))
+        m_crop = jnp.eye(3)
+        ecef, quat, lla, cam_pos = jax.jit(assemble_geopose)(
+            r, t, m_crop, aff)
+        aff64 = np.asarray(aff, np.float64)
+        want = aff64 @ np.append(np.asarray(cam_pos, np.float64), 1.0)
+        got = np.asarray(lla, np.float64)
+        # f32 quantizes lon/lat at ~2e-6 deg (~0.2 m); bf16 truncation is
+        # ~0.04 deg (~4 km) — assert well inside the former regime
+        assert abs(got[0] - want[0]) < 5e-5, (got, want)
+        assert abs(got[1] - want[1]) < 5e-5, (got, want)
+        assert abs(got[2] - want[2]) < 0.5
+
+
 class TestShear:
     def test_rotate_crop_pallas_vs_gather(self, nprng):
         from gisnav_tpu.raster.shear import rotate_and_crop_center_shear

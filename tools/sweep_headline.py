@@ -1,0 +1,155 @@
+"""Accuracy sweep at the HEADLINE bench config (1088x1920, 2048 kp, LG-9).
+
+Round-2 verdict: throughput was measured at 1080p/2048 kp while accuracy was
+only measured at 640x480/512 kp — no single configuration had both numbers.
+This tool runs the same cached-reference production runner the bench times,
+with the bundled ``learned_lg9`` weights, over the synthetic world of
+``tests/test_integration.py`` (8 yaws x 3 altitudes like
+``tests/test_envelope.py``), and reports per-pose horizontal error against
+the reference SITL 10 m acceptance gate
+(``test/sitl/sitl_px4.py:263-280`` in hmakelin/gisnav).
+
+Run on a TPU host (CPU works but is slow):
+
+    python tools/sweep_headline.py [--alts 150 300 500] [--out FILE]
+
+Prints one JSON line; with --out also writes it to a file.
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alts", type=float, nargs="+", default=[150, 300, 500])
+    ap.add_argument("--yaws", type=float, nargs="+",
+                    default=[0, 45, 90, 135, 180, 225, 270, 315])
+    ap.add_argument("--weights", default="learned_lg9")
+    ap.add_argument("--hw", type=int, nargs=2, default=(1088, 1920))
+    ap.add_argument("--kp", type=int, default=2048)
+    ap.add_argument("--depth", type=int, default=9)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from gisnav_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import tests.test_integration as ti
+    from gisnav_tpu.geometry.crs import haversine_m, pixel_to_wgs84_affine
+    from gisnav_tpu.pipeline.runners import load_bundled, make_cached_deep_runner
+
+    h, w = args.hw
+    # same FOV angle as the validated e2e suite (f=400 at 640 wide)
+    f = 400.0 * w / 640.0
+    k_cam = np.array(
+        [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]], np.float32
+    )
+
+    def render_frame(lon, lat, alt_m, yaw_deg):
+        """1080p nadir render from the synthetic world (ti._render_frame
+        generalized to this camera)."""
+        cx, cy = ti._lonlat_to_wpx(lon, lat)
+        alt_wpx = alt_m / ti.M_PER_WPX
+        a = np.radians(yaw_deg)
+        c, s = np.cos(a), np.sin(a)
+        r = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1.0]])
+        cam = np.array([cx, cy, -alt_wpx])
+        t = -r @ cam
+        hm = k_cam @ np.stack([r[:, 0], r[:, 1], t], axis=1)
+        return cv2.warpPerspective(ti.WORLD, hm, (w, h))
+
+    # fly near the middle of the world
+    lat0, lon0 = 60.025, 24.04
+    diag_px = float(np.hypot(h, w))
+    map_px = int(np.ceil(diag_px / 8)) * 8  # camera-diagonal map sizing
+
+    def make_map(alt):
+        """North-up map mirroring production sizing: the bbox layer squares
+        the FOV and pads by one side length (3x ground coverage,
+        ``geometry/bbox.py square_and_pad``), and GISNode requests it at the
+        camera-diagonal pixel size (``gis/wms.py orthoimage_size_for_camera``;
+        reference ``gis_node.py:360-384``). Matching this keeps the
+        reference-keypoint density and map/query GSD ratio production-true."""
+        # squared-FOV side = alt * max(w, h) / f; square_and_pad pads by
+        # one side length on each side -> 3x ground coverage
+        side_m = 3.0 * alt * max(h, w) / float(k_cam[0, 0])
+        side_wpx = int(round(side_m / ti.M_PER_WPX))
+        cx, cy = ti._lonlat_to_wpx(lon0, lat0)
+        x0 = int(cx - side_wpx / 2)
+        y0 = int(cy - side_wpx / 2)
+        crop = ti.WORLD[y0:y0 + side_wpx, x0:x0 + side_wpx]
+        ortho = cv2.resize(crop, (map_px, map_px),
+                           interpolation=cv2.INTER_AREA
+                           if side_wpx > map_px else cv2.INTER_LINEAR)
+        left = ti.LEFT + x0 * ti.GSD_LON
+        top = ti.TOP - y0 * ti.GSD_LAT
+        right = left + side_wpx * ti.GSD_LON
+        bottom = top - side_wpx * ti.GSD_LAT
+        aff = pixel_to_wgs84_affine(map_px, map_px, left, bottom, right, top)
+        dem = np.zeros((map_px, map_px), np.float32)
+        return ortho, dem, aff
+
+    params, base_cfg = load_bundled(args.weights)
+    cfg = dataclasses.replace(
+        base_cfg,
+        image_shape=(h, w),
+        max_keypoints=args.kp,
+        lightglue_depth=args.depth,
+    )
+    runner = make_cached_deep_runner(params, cfg)
+
+    rows = []
+    for ai, alt in enumerate(args.alts):
+        ortho, dem, aff = make_map(alt)
+        for yaw in args.yaws:
+            lon = lon0 + 0.0004 * np.cos(np.radians(yaw))
+            lat = lat0 + 0.0002 * np.sin(np.radians(yaw))
+            frame = render_frame(lon, lat, alt, yaw)
+            pose = runner(
+                frame, ortho, dem, 0.0, k_cam, aff,
+                map_stamp=ai + 1, altitude_agl=alt,
+            )
+            lla = np.asarray(pose.lon_lat_alt, np.float64)
+            horiz = haversine_m(lat, lon, lla[1], lla[0])
+            vert = abs(lla[2] - alt)
+            rows.append({
+                "alt": alt, "yaw": yaw, "valid": bool(pose.valid),
+                "inliers": int(pose.num_inliers),
+                "horiz_m": round(float(horiz), 2),
+                "vert_m": round(float(vert), 2),
+            })
+            print(f"alt={alt:5.0f} yaw={yaw:5.1f} valid={bool(pose.valid)} "
+                  f"inl={int(pose.num_inliers):4d} horiz={horiz:7.2f} m "
+                  f"vert={vert:6.2f} m", flush=True)
+
+    ok = [r for r in rows if r["valid"] and r["horiz_m"] < 10.0
+          and r["vert_m"] < 10.0]
+    horiz = [r["horiz_m"] for r in rows if r["valid"]]
+    summary = {
+        "config": f"{h}x{w}_{args.kp}kp_lg{args.depth}_{args.weights}_cached",
+        "poses": len(rows),
+        "valid": sum(r["valid"] for r in rows),
+        "pass_10m": len(ok),
+        "mean_horiz_m": round(float(np.mean(horiz)), 2) if horiz else None,
+        "max_horiz_m": round(float(np.max(horiz)), 2) if horiz else None,
+        "rows": rows,
+    }
+    line = json.dumps(summary)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
