@@ -73,6 +73,16 @@ def build_app(args):
         if adapter is None:
             print("[WARN] --ros requested but rclpy is not importable; "
                   "running without the ROS bridge", file=sys.stderr)
+
+    # serial feed to the autopilot (nmea/ubx only; uorb rides the DDS agent)
+    serial_tcp = getattr(args, "serial_tcp", None)
+    serial_device = getattr(args, "serial_device", None)
+    if (serial_tcp or serial_device) and args.protocol in ("nmea", "ubx"):
+        from gisnav_tpu.io.serial_bridge import SerialBridge
+
+        app.serial_bridge = SerialBridge(
+            bus, protocol=args.protocol,
+            tcp=serial_tcp, device=serial_device)
     return app, adapter
 
 
@@ -95,6 +105,9 @@ def _cmd_run(args) -> int:
         while True:
             time.sleep(1.0)
     except KeyboardInterrupt:
+        bridge = getattr(app, "serial_bridge", None)
+        if bridge is not None:
+            bridge.close()
         stats = app.shutdown()
         print(json.dumps(stats, indent=2, default=str))
     return 0
@@ -137,16 +150,66 @@ def _cmd_train(args) -> int:
     return 0
 
 
+def _cmd_replay(args) -> int:
+    """Offline replay: recorded frames + ground truth -> error report.
+
+    The in-framework equivalent of the reference's ULog error analysis
+    (``test/sitl/ulog_analysis/variance_estimation.ipynb``); dataset layout
+    is documented in :mod:`gisnav_tpu.replay`.
+    """
+    import json as _json
+
+    from gisnav_tpu.replay import replay, summarize
+
+    def progress(i, n, res):
+        print(f"[{i}/{n}] stamp={res['stamp_us']} valid={res['valid']} "
+              f"inl={res['inliers']:4d} horiz={res['horiz_m']:8.2f} m",
+              flush=True)
+
+    report = replay(
+        args.dataset,
+        weights=args.weights,
+        prior=args.prior,
+        max_keypoints=args.max_keypoints,
+        lightglue_depth=args.depth,
+        progress=progress if not args.quiet else None,
+    )
+    summary = summarize(report)
+    print(_json.dumps(summary))
+    if args.out:
+        report["summary"] = summary
+        with open(args.out, "w") as f:
+            _json.dump(report, f, indent=1)
+    return 0 if summary.get("pass_10m", 0) == summary["frames"] else 1
+
+
 def _cmd_doctor(args) -> int:
     """Environment self-check (devices, native lib, WMS reachability)."""
-    ok = True
-    try:
-        import jax
+    import subprocess
 
-        devs = jax.devices()
-        print(f"[ok] jax {jax.__version__}, devices: {devs}")
-    except Exception as e:  # noqa: BLE001
-        print(f"[FAIL] jax: {e}")
+    ok = True
+    # device enumeration goes over the accelerator transport and can hang
+    # indefinitely if the device service is down — a self-check must report
+    # that, not inherit the hang. Probe in a SUBPROCESS with a hard
+    # deadline: an in-process probe thread would wedge the import lock and
+    # interpreter teardown when it never returns.
+    probe = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; print(jax.__version__); print(jax.devices())"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    try:
+        out, _ = probe.communicate(timeout=args.device_timeout)
+        if probe.returncode == 0:
+            ver, devs = out.strip().split("\n", 1)
+            print(f"[ok] jax {ver}, devices: {devs}")
+        else:
+            print(f"[FAIL] jax device probe exited {probe.returncode}")
+            ok = False
+    except subprocess.TimeoutExpired:
+        probe.kill()
+        print(f"[FAIL] jax device enumeration exceeded "
+              f"{args.device_timeout:.0f} s — accelerator runtime/tunnel "
+              f"unreachable")
         ok = False
     try:
         from gisnav_tpu.nodes.bus import build_native_lib
@@ -177,9 +240,14 @@ def _cmd_serial(args) -> int:
     from gisnav_tpu.nodes.bus import ShmBus
 
     bus = ShmBus(namespace=args.namespace)
-    bridge = SerialBridge(bus, protocol=args.protocol, link=args.link)
-    print(f"serial bridge up: {args.protocol} -> {args.link} "
-          f"(pty {bridge.slave_path}); Ctrl-C to stop")
+    if args.tcp:
+        bridge = SerialBridge(bus, protocol=args.protocol, tcp=args.tcp)
+        print(f"serial bridge up: {args.protocol} -> tcp {args.tcp} "
+              f"(connected={bridge.connected}); Ctrl-C to stop")
+    else:
+        bridge = SerialBridge(bus, protocol=args.protocol, link=args.link)
+        print(f"serial bridge up: {args.protocol} -> {args.link} "
+              f"(pty {bridge.slave_path}); Ctrl-C to stop")
     try:
         while True:
             time.sleep(1.0)
@@ -292,6 +360,13 @@ def main(argv=None) -> int:
     run.add_argument("--wfst", action="store_true",
                      help="also run the WFS-T telemetry sink")
     run.add_argument("--gis-rate", type=float, default=1.0)
+    run.add_argument("--serial-tcp", default=None, metavar="HOST:PORT",
+                     help="also bridge the mock-GPS output to a TCP "
+                          "listener on the simulation container "
+                          "(SITL constellation, e.g. px4:15000)")
+    run.add_argument("--serial-device", default=None, metavar="PATH",
+                     help="also bridge the mock-GPS output to a real "
+                          "serial device (HIL, e.g. /dev/ttyUSB0)")
     run.set_defaults(fn=_cmd_run)
 
     bench_p = sub.add_parser("bench", help="run the headline benchmark")
@@ -313,14 +388,35 @@ def main(argv=None) -> int:
     tr.add_argument("--ckpt-dir", default=None)
     tr.set_defaults(fn=_cmd_train)
 
+    rp = sub.add_parser(
+        "replay", help="offline replay of recorded frames vs ground truth")
+    rp.add_argument("dataset", help="dataset dir (see gisnav_tpu/replay.py)")
+    rp.add_argument("--weights", default="learned_lg9")
+    rp.add_argument("--prior", choices=("none", "previous", "truth"),
+                    default="previous")
+    rp.add_argument("--max-keypoints", type=int, default=None)
+    rp.add_argument("--depth", type=int, default=None)
+    rp.add_argument("--out", default=None, help="write full JSON report")
+    rp.add_argument("--quiet", action="store_true")
+    rp.set_defaults(fn=_cmd_replay)
+
     doctor = sub.add_parser("doctor", help="environment self-check")
     doctor.add_argument("--wms-url", default=None)
+    doctor.add_argument("--device-timeout", type=float, default=60.0,
+                        help="hard deadline for device enumeration "
+                             "(a dead accelerator tunnel must fail the "
+                             "check, not hang it)")
     doctor.set_defaults(fn=_cmd_doctor)
 
     serial = sub.add_parser(
         "serial", help="pty bridge: mock-GPS bus output -> autopilot port")
     serial.add_argument("--protocol", choices=("nmea", "ubx"),
                         default="nmea")
+    serial.add_argument(
+        "--tcp", default=None, metavar="HOST:PORT",
+        help="connect a TCP stream instead of opening a pty (the "
+             "cross-container topology: socat on the simulation side "
+             "turns it back into a serial device)")
     serial.add_argument("--link", default="/tmp/gisnav-gps",
                         help="stable symlink to the pty slave")
     serial.add_argument("--namespace", default="gisnav",

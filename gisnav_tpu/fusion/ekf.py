@@ -31,8 +31,6 @@ __all__ = ["EKFState", "ekf_init", "ekf_predict", "ekf_update_pose",
 STATE_DIM = 15
 POSE_DIM = 6
 
-_ANGLE_IDX = jnp.arange(3, 6)
-
 
 class EKFState(NamedTuple):
     x: jnp.ndarray  # (15,)

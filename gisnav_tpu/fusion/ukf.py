@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gisnav_tpu.fusion.ekf import (
     EKFState,
@@ -28,11 +29,15 @@ _ALPHA, _BETA, _KAPPA = 1e-2, 2.0, 0.0
 _LAMBDA = _ALPHA**2 * (STATE_DIM + _KAPPA) - STATE_DIM
 _N_SIGMA = 2 * STATE_DIM + 1
 
-_WM = jnp.concatenate([
-    jnp.array([_LAMBDA / (STATE_DIM + _LAMBDA)]),
-    jnp.full(2 * STATE_DIM, 0.5 / (STATE_DIM + _LAMBDA)),
+# host numpy on purpose: sigma weights are compile-time constants that fold
+# into the jitted programs, and module import must never touch the device
+# (a first jnp op here would initialize the accelerator backend at import)
+_WM = np.concatenate([
+    np.array([_LAMBDA / (STATE_DIM + _LAMBDA)], np.float32),
+    np.full(2 * STATE_DIM, 0.5 / (STATE_DIM + _LAMBDA), np.float32),
 ])
-_WC = _WM.at[0].add(1.0 - _ALPHA**2 + _BETA)
+_WC = _WM.copy()
+_WC[0] += 1.0 - _ALPHA**2 + _BETA
 
 
 def _sigma_points(x, p):

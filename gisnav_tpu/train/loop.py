@@ -45,8 +45,9 @@ def train(
     if device_data is None:
         device_data = jax.default_backend() not in ("cpu",)
     try:  # persistent jit cache: the train chunk costs minutes to compile
-        jax.config.update(
-            "jax_compilation_cache_dir", "/tmp/gisnav_tpu_jit_cache")
+        from gisnav_tpu.utils.jitcache import enable_persistent_cache
+
+        enable_persistent_cache()
     except Exception:  # pragma: no cover - older jax
         pass
     is_loftr = type(config).__name__ == "LoFTRTrainConfig"

@@ -1,0 +1,47 @@
+"""Persistent-compilation-cache location, keyed by host CPU identity.
+
+XLA:CPU persists AOT-compiled executables; loading one that was compiled on
+a host with different CPU features aborts the process (observed as
+``cpu_aot_loader.cc`` feature-mismatch errors followed by SIGILL-class
+crashes after a VM migration). Keying the cache directory by the host's
+feature set makes a migration start a fresh cache instead of crashing
+every jitted program.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+__all__ = ["cache_dir", "enable_persistent_cache"]
+
+
+def _host_key() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(
+        (platform.machine() + platform.processor()).encode()
+    ).hexdigest()[:12]
+
+
+def cache_dir() -> str:
+    return f"/tmp/gisnav_tpu_jit_cache_{_host_key()}"
+
+
+def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
+    """Point jax at the per-host cache; returns the directory used."""
+    import jax
+
+    path = cache_dir()
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    return path

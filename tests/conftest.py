@@ -25,8 +25,9 @@ import jax  # noqa: E402
 if not _TPU_PARITY:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-jax.config.update("jax_compilation_cache_dir", "/tmp/gisnav_tpu_jit_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from gisnav_tpu.utils.jitcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -31,6 +31,39 @@ def _args(**over):
 
 
 class TestBuildApp:
+    def test_serial_tcp_bridge_attached(self):
+        """--serial-tcp wires a TCP SerialBridge into the constructed app
+        (the SITL-constellation GPS feed; docker-compose.vehicle.yaml)."""
+        import socket
+        import threading
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        srv.settimeout(5.0)
+        port = srv.getsockname()[1]
+        accepted = []
+        t = threading.Thread(
+            target=lambda: accepted.append(srv.accept()[0]))
+        t.start()
+        app, _ = build_app(_args(
+            protocol="nmea", backend="classical",
+            serial_tcp=f"127.0.0.1:{port}"))
+        try:
+            t.join(timeout=5.0)
+            assert getattr(app, "serial_bridge", None) is not None
+            assert app.serial_bridge.connected
+        finally:
+            app.serial_bridge.close()
+            for c in accepted:
+                c.close()
+            srv.close()
+
+    def test_serial_bridge_skipped_for_uorb(self):
+        """uorb rides the DDS agent; no byte-level serial feed exists."""
+        app, _ = build_app(_args(
+            protocol="uorb", backend="classical",
+            serial_tcp="127.0.0.1:1"))
+        assert getattr(app, "serial_bridge", None) is None
+
     def test_deep_backend_attaches_runner(self):
         app, adapter = build_app(_args())
         assert app.pose._deep_runner is not None, (

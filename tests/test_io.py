@@ -230,6 +230,94 @@ class TestSerialBridge:
         finally:
             bridge.close()
 
+    def test_tcp_bytes_reach_the_listener(self):
+        """Cross-container mode: bytes arrive whole on a TCP listener (the
+        socat tcp-listen side of the reference's px4 entrypoint)."""
+        import socket
+        import threading
+
+        from gisnav_tpu.io.serial_bridge import SerialBridge
+        from gisnav_tpu.nodes.bus import LocalBus
+        from gisnav_tpu.nodes.mock_gps import TOPIC_NMEA_SENTENCE
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        srv.settimeout(5.0)
+        port = srv.getsockname()[1]
+        got = []
+
+        def accept():
+            conn, _ = srv.accept()
+            conn.settimeout(5.0)
+            got.append(conn.recv(64))
+            conn.close()
+
+        t = threading.Thread(target=accept)
+        t.start()
+        bus = LocalBus()
+        bridge = SerialBridge(bus, protocol="nmea",
+                              tcp=f"127.0.0.1:{port}")
+        try:
+            assert bridge.connected
+            bus.publish(TOPIC_NMEA_SENTENCE,
+                        {"stamp_us": 1, "sentence": "$GPGGA,test*00"})
+            t.join(timeout=5.0)
+            assert got == [b"$GPGGA,test*00\r\n"]
+        finally:
+            bridge.close()
+            srv.close()
+
+    def test_tcp_drops_fixes_while_down_then_reconnects(self):
+        """GPS is a lossy realtime feed: fixes published while the sim is
+        down are dropped (never queued), and the next fix reconnects."""
+        import socket
+        import threading
+        import time
+
+        from gisnav_tpu.io.serial_bridge import SerialBridge
+        from gisnav_tpu.nodes.bus import LocalBus
+        from gisnav_tpu.nodes.mock_gps import TOPIC_NMEA_SENTENCE
+
+        # reserve a port, but nobody is listening yet
+        probe = socket.create_server(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+
+        bus = LocalBus()
+        bridge = SerialBridge(bus, protocol="nmea",
+                              tcp=f"127.0.0.1:{port}",
+                              connect_timeout_s=0.1)
+        try:
+            assert not bridge.connected
+            bus.publish(TOPIC_NMEA_SENTENCE,
+                        {"stamp_us": 1, "sentence": "$GPGGA,lost*00"})
+            assert bridge.bytes_written == 0
+
+            srv = socket.create_server(("127.0.0.1", port))
+            srv.settimeout(5.0)
+            got = []
+
+            def accept():
+                conn, _ = srv.accept()
+                conn.settimeout(5.0)
+                got.append(conn.recv(64))
+                conn.close()
+
+            t = threading.Thread(target=accept)
+            t.start()
+            # back-off floor: wait past connect_timeout_s then republish
+            time.sleep(0.15)
+            bus.publish(TOPIC_NMEA_SENTENCE,
+                        {"stamp_us": 2, "sentence": "$GPGGA,back*00"})
+            if not bridge.connected:  # first fix may only re-arm the dial
+                time.sleep(0.15)
+                bus.publish(TOPIC_NMEA_SENTENCE,
+                            {"stamp_us": 3, "sentence": "$GPGGA,back*00"})
+            t.join(timeout=5.0)
+            assert got and got[0].endswith(b"$GPGGA,back*00\r\n")
+            srv.close()
+        finally:
+            bridge.close()
+
     def test_symlink_lifecycle(self, tmp_path):
         import os
 

@@ -60,8 +60,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gisnav_tpu_jit_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from gisnav_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()
 
     from gisnav_tpu.features.pallas_conv import conv_stage, stem_stage
 
