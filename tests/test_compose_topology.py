@@ -67,6 +67,17 @@ class TestVehicleCompose:
                     f"{name}: build context {ctx} has no Dockerfile")
 
 
+class TestToolsOverlay:
+    def test_tooling_services_present(self):
+        services = _load("docker-compose.tools.yaml")["services"]
+        for name in ("qgc", "rviz", "rqt", "monitoring"):
+            assert name in services, name
+
+    def test_monitoring_sees_host_pids(self):
+        mon = _load("docker-compose.tools.yaml")["services"]["monitoring"]
+        assert mon.get("pid") == "host"
+
+
 class TestHilOverlay:
     def test_hil_passes_serial_devices_through(self):
         services = _load("docker-compose.hil.yaml")["services"]
