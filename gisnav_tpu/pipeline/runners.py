@@ -14,6 +14,7 @@ the reference StereoNode semantics.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -49,6 +50,10 @@ detector + 9-layer LightGlue — the headline-bench architecture). Strongest
 in WARP mode (10/10 on the accuracy sweep, mean 4.1 m, ~2x the inliers of
 harris_lg5); prefer ``PRETRAINED_CONFIG``/harris_lg5 for cached mode."""
 
+SEMIDENSE_CONFIG = dataclasses.replace(PRETRAINED_CONFIG, max_keypoints=1024)
+"""Config for ``weights/gisnav_tpu_loftr.npz`` (semi-dense LoFTR variant;
+max_keypoints bounds the coarse match set, not a detector)."""
+
 
 def load_bundled(name: str = "harris_lg5"):
     """Load a bundled weight set by name -> (params, PipelineConfig)."""
@@ -62,6 +67,10 @@ def load_bundled(name: str = "harris_lg5"):
         return load_pretrained(LEARNED_LG9_PATH), LEARNED_LG9_CONFIG
     if name == "harris_lg5":
         return load_pretrained(PRETRAINED_PATH), PRETRAINED_CONFIG
+    if name == "loftr":
+        from gisnav_tpu.weights import LOFTR_PATH
+
+        return load_pretrained(LOFTR_PATH), SEMIDENSE_CONFIG
     raise ValueError(f"unknown bundled weights {name!r}")
 
 
@@ -141,10 +150,16 @@ def make_semidense_runner(params=None,
         init_semidense_params,
     )
 
-    config = config or dataclasses.replace(
-        PRETRAINED_CONFIG, max_keypoints=1024)
+    config = config or SEMIDENSE_CONFIG
     if params is None:
-        params = init_semidense_params(jrandom.PRNGKey(seed), config)
+        # bundled trained LoFTR when available; random init as the
+        # documented fallback (structure tests, untrained experiments)
+        from gisnav_tpu.weights import LOFTR_PATH, load_pretrained
+
+        if os.path.exists(LOFTR_PATH):
+            params = load_pretrained(LOFTR_PATH)
+        else:
+            params = init_semidense_params(jrandom.PRNGKey(seed), config)
     params = jax.device_put(params)
     fn = build_frame_to_geopose_semidense(config)
     cache: Dict[Tuple[int, int], object] = {}

@@ -22,7 +22,7 @@ from typing import Any, Optional
 import numpy as np
 
 __all__ = ["load_pretrained", "save_npz", "load_npz", "PRETRAINED_PATH",
-           "LEARNED_LG9_PATH"]
+           "LEARNED_LG9_PATH", "LOFTR_PATH"]
 
 WEIGHTS_DIR = os.environ.get(
     "GISNAV_TPU_WEIGHTS_DIR",
@@ -35,6 +35,10 @@ PRETRAINED_PATH = os.path.join(WEIGHTS_DIR, "gisnav_tpu_harris_lg5.npz")
 # mode (10/10 on the accuracy sweep, mean 4.1 m, ~2x the inliers of
 # harris_lg5); in cached mode harris_lg5 is stronger (10/10 vs 8/10).
 LEARNED_LG9_PATH = os.path.join(WEIGHTS_DIR, "gisnav_tpu_learned_lg9.npz")
+# semi-dense LoFTR variant (detector-free; matching/loftr.py depth=4
+# architecture, trained with train/loftr_steps.py coarse dual-softmax CE +
+# fine reprojection loss)
+LOFTR_PATH = os.path.join(WEIGHTS_DIR, "gisnav_tpu_loftr.npz")
 
 
 def save_npz(path: str, params: Any) -> None:

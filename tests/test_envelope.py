@@ -155,6 +155,29 @@ class TestEnvelope:
         )
         _gate(fixes, truth, n_min=3)
 
+    def test_semidense_backend_full_graph_with_trained_weights(self,
+                                                               wms_url):
+        """Semi-dense LoFTR variant through the full graph at the same 10 m
+        gate — gated on the trained bundle being present (random-init LoFTR
+        has no matching power by construction; structure covered in
+        test_loftr.py)."""
+        import os
+
+        from gisnav_tpu.weights import LOFTR_PATH
+
+        if not os.path.exists(LOFTR_PATH):
+            pytest.skip("no trained LoFTR bundle (weights/gisnav_tpu_"
+                        "loftr.npz); train with "
+                        "'gisnav_tpu train --model loftr'")
+        lat0, lon0 = 60.02, 24.03
+        profile = [
+            (_east(lon0, 10.0 * i), lat0, ti.ALT_M, 15.0) for i in range(16)
+        ]
+        fixes, truth = _fly(
+            wms_url, profile, pose_params={"backend": "semidense"},
+        )
+        _gate(fixes, truth, n_min=3)
+
     def test_error_vs_altitude_envelope(self, wms_url):
         """Mean-error envelope across the working altitude band (the
         BASELINE.md error-vs-altitude counterpart)."""
