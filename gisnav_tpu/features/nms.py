@@ -79,8 +79,10 @@ def select_keypoints(
 
     if use_pallas:
         # fused single-pass kernel; the NMS survivor of a cell is also the
-        # cell's raw-heatmap argmax (its 9x9 window covers the 4x4 cell),
-        # so per-cell positions come from a post-top-k gather
+        # cell's raw-heatmap argmax (its 9x9 window covers the 4x4 cell).
+        # Refined positions come from a vectorized all-cells table
+        # (_cell_keypoint_table) — after top-k the only remaining gather is
+        # one contiguous table-row lookup per keypoint
         hb, wb = h // block, w // block
         if hpad != h:
             ys_b = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -90,22 +92,8 @@ def select_keypoints(
         else:
             cell_max = nms_cellmax_pallas(heatmap, border)  # (hb, wb)
         scores, cell_idx = _top_k(cell_max.reshape(-1), max_keypoints)
-        cy0 = (cell_idx // wb) * block
-        cx0 = (cell_idx % wb) * block
-        dy = jnp.arange(block, dtype=jnp.int32)
-        dx = jnp.arange(block, dtype=jnp.int32)
-        patch = heatmap[
-            cy0[:, None, None] + dy[None, :, None],
-            cx0[:, None, None] + dx[None, None, :],
-        ].reshape(-1, block * block)
-        inner = jnp.argmax(patch, axis=1).astype(jnp.int32)
-        by = cy0 + inner // block
-        bx = cx0 + inner % block
-        keypoints = jnp.stack(
-            [bx.astype(jnp.float32), by.astype(jnp.float32)], axis=1
-        )
+        keypoints = _cell_keypoint_table(heatmap, heatmap, block)[cell_idx]
         valid = scores > score_threshold
-        keypoints = refine_subpixel(heatmap, keypoints)
         return keypoints, scores, valid
 
     nms = simple_nms(heatmap, nms_radius)
@@ -124,21 +112,20 @@ def select_keypoints(
         cells = nms.reshape(hb, block, wb, block).transpose(0, 2, 1, 3)
         cells = cells.reshape(hb * wb, block * block)
         cell_max = jnp.max(cells, axis=1)
-        cell_arg = jnp.argmax(cells, axis=1).astype(jnp.int32)
         scores, cell_idx = _top_k(cell_max, max_keypoints)
-        inner = cell_arg[cell_idx]
-        by = (cell_idx // wb) * block + inner // block
-        bx = (cell_idx % wb) * block + inner % block
-        keypoints = jnp.stack(
-            [bx.astype(jnp.float32), by.astype(jnp.float32)], axis=1
-        )
-    else:
-        flat = nms.reshape(-1)
-        scores, idx = _top_k(flat, max_keypoints)
-        keypoints = jnp.stack(
-            [(idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32)],
-            axis=1,
-        )
+        # NOTE the table's argmax runs on the NMS'd heatmap here (the XLA
+        # path has it materialized anyway), refined offsets on the raw one —
+        # same semantics as the Pallas path where both agree by construction
+        keypoints = _cell_keypoint_table(nms, heatmap, block)[cell_idx]
+        valid = scores > score_threshold
+        return keypoints, scores, valid
+
+    flat = nms.reshape(-1)
+    scores, idx = _top_k(flat, max_keypoints)
+    keypoints = jnp.stack(
+        [(idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32)],
+        axis=1,
+    )
     valid = scores > score_threshold
     keypoints = refine_subpixel(heatmap, keypoints)
     return keypoints, scores, valid
@@ -190,6 +177,81 @@ def select_keypoints_tiled(
         sc = jnp.concatenate([sc, jnp.zeros((pad,), sc.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     return kp, sc, valid
+
+
+def _softargmax_offset_maps(
+    heatmap: jnp.ndarray, temperature: float = 0.1
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel 3x3 soft-argmax offsets as FULL maps (dx_map, dy_map).
+
+    Equivalent to :func:`refine_subpixel` evaluated at every pixel, but
+    built from 9 shifted images with running accumulators — pure elementwise
+    VPU work that XLA fuses, instead of K scattered 3x3 window gathers
+    (latency-bound on TPU: measured 1.15 ms standalone for 2048 keypoints
+    at 1080p). Edge replication matches the gather version's index clamping.
+    """
+    pad = jnp.pad(heatmap, 1, mode="edge")
+    h, w = heatmap.shape
+
+    def shifted(dy, dx):
+        return jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx), (h, w))
+
+    m = heatmap  # center always participates; running max for stability
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                m = jnp.maximum(m, shifted(dy, dx))
+    s = jnp.zeros_like(heatmap)
+    sx = jnp.zeros_like(heatmap)
+    sy = jnp.zeros_like(heatmap)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            e = jnp.exp((shifted(dy, dx) - m) / temperature)
+            s = s + e
+            sx = sx + e * dx
+            sy = sy + e * dy
+    dx_map = jnp.clip(sx / s, -0.5, 0.5)
+    dy_map = jnp.clip(sy / s, -0.5, 0.5)
+    return dx_map, dy_map
+
+
+def _cell_keypoint_table(
+    argmax_src: jnp.ndarray,
+    refine_src: jnp.ndarray,
+    block: int,
+    temperature: float = 0.1,
+) -> jnp.ndarray:
+    """(hb*wb, 2) table of the refined xy keypoint of EVERY block cell.
+
+    Vectorized over all cells (reshape + one-hot contractions, no gathers):
+    after top-k over cell maxima, the final keypoints are one contiguous
+    row-gather ``table[cell_idx]`` — replacing the per-keypoint 4x4 patch
+    gather (argmax) + 3x3 window gather (subpixel) of the previous
+    implementation, both scattered and latency-bound on TPU.
+
+    :param argmax_src: heatmap the per-cell peak position is taken from
+        (raw in the Pallas path, NMS'd in the XLA path)
+    :param refine_src: heatmap the 3x3 soft-argmax offsets read (always raw)
+    """
+    h, w = argmax_src.shape
+    hb, wb = h // block, w // block
+
+    def to_cells(m):
+        c = m.reshape(hb, block, wb, block).transpose(0, 2, 1, 3)
+        return c.reshape(hb * wb, block * block)
+
+    inner = jnp.argmax(to_cells(argmax_src), axis=1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(inner, block * block, dtype=refine_src.dtype)
+
+    dx_map, dy_map = _softargmax_offset_maps(refine_src, temperature)
+    ids = jnp.arange(hb * wb, dtype=jnp.int32)
+    by = (ids // wb) * block + inner // block
+    bx = (ids % wb) * block + inner % block
+    return jnp.stack(
+        [bx.astype(jnp.float32) + jnp.sum(onehot * to_cells(dx_map), axis=1),
+         by.astype(jnp.float32) + jnp.sum(onehot * to_cells(dy_map), axis=1)],
+        axis=1,
+    )
 
 
 def refine_subpixel(heatmap: jnp.ndarray, keypoints: jnp.ndarray,

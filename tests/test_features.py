@@ -110,6 +110,68 @@ class TestSubpixelRefinement:
         # offsets bounded by half a pixel
         assert np.all(np.abs(out - np.asarray(kp)) <= 0.5 + 1e-6)
 
+    def test_offset_maps_match_gather_refine(self):
+        """The vectorized full-map soft-argmax (gather-free TPU path) must
+        agree with the per-keypoint window-gather reference everywhere,
+        including clamped image borders."""
+        from gisnav_tpu.features.nms import (
+            _softargmax_offset_maps,
+            refine_subpixel,
+        )
+
+        rng = np.random.default_rng(3)
+        heat = jnp.asarray(rng.uniform(0, 1, (24, 32)).astype(np.float32))
+        ys, xs = np.mgrid[0:24, 0:32]
+        kp = jnp.asarray(
+            np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32))
+        ref = np.asarray(refine_subpixel(heat, kp))
+        dx, dy = _softargmax_offset_maps(heat)
+        got_x = np.asarray(kp[:, 0] + np.asarray(dx).ravel())
+        got_y = np.asarray(kp[:, 1] + np.asarray(dy).ravel())
+        np.testing.assert_allclose(got_x, ref[:, 0], atol=1e-5)
+        np.testing.assert_allclose(got_y, ref[:, 1], atol=1e-5)
+
+    def test_cell_table_matches_scattered_gather_selection(self):
+        """Table-based select (one row-gather per keypoint) must reproduce
+        the previous scattered patch-gather + window-gather selection."""
+        from gisnav_tpu.features.nms import (
+            refine_subpixel,
+            select_keypoints,
+            simple_nms,
+        )
+
+        rng = np.random.default_rng(11)
+        heat = jnp.asarray(rng.uniform(0, 1, (64, 96)).astype(np.float32))
+        kp, sc, valid = select_keypoints(heat, 32, border=4)
+
+        # reference: the pre-table implementation, spelled out
+        block, border = 4, 4
+        h, w = heat.shape
+        nms = simple_nms(heat, 4)
+        ysg, xsg = np.mgrid[0:h, 0:w]
+        inb = ((xsg >= border) & (xsg < w - border) &
+               (ysg >= border) & (ysg < h - border))
+        nms = jnp.where(jnp.asarray(inb), nms, 0.0)
+        hb, wb = h // block, w // block
+        cells = np.asarray(nms).reshape(hb, block, wb, block)
+        cells = cells.transpose(0, 2, 1, 3).reshape(hb * wb, block * block)
+        cell_max = cells.max(1)
+        order = np.argsort(-cell_max)[:32]
+        ref_scores = cell_max[order]
+        inner = cells.argmax(1)[order]
+        by = (order // wb) * block + inner // block
+        bx = (order % wb) * block + inner % block
+        ref_kp = np.asarray(refine_subpixel(
+            heat, jnp.asarray(np.stack([bx, by], 1).astype(np.float32))))
+
+        got = sorted(zip(np.asarray(sc).tolist(),
+                         np.asarray(kp).tolist()), reverse=True)
+        want = sorted(zip(ref_scores.tolist(), ref_kp.tolist()),
+                      reverse=True)
+        for (gs, gk), (ws_, wk) in zip(got, want):
+            assert abs(gs - ws_) < 1e-5
+            np.testing.assert_allclose(gk, wk, atol=1e-4)
+
     def test_flat_heatmap_no_motion_blowup(self):
         from gisnav_tpu.features.nms import refine_subpixel
 
