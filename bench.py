@@ -19,12 +19,42 @@ Baseline target (BASELINE.json): 30 FPS sustained, p50 < 20 ms on one v5e
 chip; ``vs_baseline`` = fps / 30. Prints ONE JSON line.
 """
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def _devices_reachable(timeout_s: float = 600.0) -> bool:
+    """Probe device enumeration in a subprocess with a hard deadline.
+
+    The accelerator tunnel can hang ``jax.devices()`` indefinitely when the
+    device service is down; the bench must then emit its one JSON line with
+    an error instead of hanging the driver. (Same pattern as cli doctor.)
+    """
+    probe = subprocess.Popen(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        return probe.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        probe.kill()
+        return False
+
+
 def main():
+    if not _devices_reachable():
+        print(json.dumps({
+            "metric": "frame_to_geopose_fps_1080p_2048kp",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": "device enumeration timed out — accelerator "
+                     "runtime/tunnel unreachable at bench time",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
