@@ -39,8 +39,6 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    import jax
-
     from gisnav_tpu.utils.jitcache import enable_persistent_cache
     enable_persistent_cache()
 
