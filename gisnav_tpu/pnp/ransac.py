@@ -197,6 +197,13 @@ def ransac_pnp(
 ) -> PnPResult:
     """Robust pose from 2D-3D correspondences, fixed shapes throughout.
 
+    All matmuls in here run at true f32 precision: the TPU MXU's DEFAULT
+    precision feeds bf16 operands, and raw pixel coordinates (up to ~2048)
+    quantize at ~8 px in bf16 — on the k_inv normalization that error EQUALS
+    the default 8 px inlier threshold, silently degrading every hypothesis
+    score and the Gauss-Newton normal equations. These are tiny (N x 3 and
+    8 x 8) matmuls; full precision costs nothing next to the matcher.
+
     :param pts3d: (N, 3) object points (reference raster frame, z from DEM)
     :param pts2d: (N, 2) query pixel coordinates
     :param k: (3, 3) camera intrinsics
@@ -208,79 +215,80 @@ def ransac_pnp(
     :param min_inliers: below this the result is flagged invalid
     :param refine_iters: Gauss-Newton polish iterations
     """
-    n = pts3d.shape[0]
-    dtype = jnp.float32
-    pts3d = pts3d.astype(dtype)
-    pts2d = pts2d.astype(dtype)
-    k = k.astype(dtype)
-    if mask is None:
-        mask = jnp.ones(n, dtype=bool)
-    if key is None:
-        key = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision("float32"):
+        n = pts3d.shape[0]
+        dtype = jnp.float32
+        pts3d = pts3d.astype(dtype)
+        pts2d = pts2d.astype(dtype)
+        k = k.astype(dtype)
+        if mask is None:
+            mask = jnp.ones(n, dtype=bool)
+        if key is None:
+            key = jax.random.PRNGKey(0)
 
-    fmask = mask.astype(dtype)
-    count = jnp.maximum(jnp.sum(fmask), 1.0)
+        fmask = mask.astype(dtype)
+        count = jnp.maximum(jnp.sum(fmask), 1.0)
 
-    # --- precondition -----------------------------------------------------
-    k_inv = jnp.linalg.inv(k)
-    ones = jnp.ones((n, 1), dtype=dtype)
-    pts2d_n = jnp.concatenate([pts2d, ones], axis=1) @ k_inv.T
-    pts2d_n = pts2d_n[:, :2]
-    # pixel threshold -> normalized-coordinate threshold
-    f_mean = 0.5 * (k[0, 0] + k[1, 1])
-    threshold_n = threshold_px / f_mean
+        # --- precondition -----------------------------------------------------
+        k_inv = jnp.linalg.inv(k)
+        ones = jnp.ones((n, 1), dtype=dtype)
+        pts2d_n = jnp.concatenate([pts2d, ones], axis=1) @ k_inv.T
+        pts2d_n = pts2d_n[:, :2]
+        # pixel threshold -> normalized-coordinate threshold
+        f_mean = 0.5 * (k[0, 0] + k[1, 1])
+        threshold_n = threshold_px / f_mean
 
-    centroid = jnp.sum(pts3d * fmask[:, None], axis=0) / count
-    centered = pts3d - centroid
-    scale = jnp.sqrt(
-        jnp.sum(jnp.sum(centered**2, axis=1) * fmask) / count
-    )
-    scale = jnp.maximum(scale, 1e-6)
-    pts3d_n = centered / scale
+        centroid = jnp.sum(pts3d * fmask[:, None], axis=0) / count
+        centered = pts3d - centroid
+        scale = jnp.sqrt(
+            jnp.sum(jnp.sum(centered**2, axis=1) * fmask) / count
+        )
+        scale = jnp.maximum(scale, 1e-6)
+        pts3d_n = centered / scale
 
-    # --- hypotheses -------------------------------------------------------
-    probs = fmask / jnp.sum(fmask)
-    keys = jax.random.split(key, num_hypotheses)
+        # --- hypotheses -------------------------------------------------------
+        probs = fmask / jnp.sum(fmask)
+        keys = jax.random.split(key, num_hypotheses)
 
-    def hypothesis(hkey):
-        idx = jax.random.choice(hkey, n, shape=(4,), replace=False, p=probs)
-        obj = pts3d_n[idx][:, :2]  # plane assumption: drop z at minimal stage
-        img = pts2d_n[idx]
-        h = _homography_4pt(obj, img)
-        r, t = _pose_from_homography(h)
-        # score against ALL correspondences (full 3D, masked)
-        pc = pts3d_n @ r.T + t
+        def hypothesis(hkey):
+            idx = jax.random.choice(hkey, n, shape=(4,), replace=False, p=probs)
+            obj = pts3d_n[idx][:, :2]  # plane assumption: drop z at minimal stage
+            img = pts2d_n[idx]
+            h = _homography_4pt(obj, img)
+            r, t = _pose_from_homography(h)
+            # score against ALL correspondences (full 3D, masked)
+            pc = pts3d_n @ r.T + t
+            z = jnp.maximum(pc[:, 2], 1e-6)
+            res = pc[:, :2] / z[:, None] - pts2d_n
+            err = jnp.linalg.norm(res, axis=1)
+            inl = (err < threshold_n) & mask & (pc[:, 2] > 0)
+            return jnp.sum(inl), r, t
+
+        scores, rs, ts = jax.vmap(hypothesis)(keys)
+        best = jnp.argmax(scores)
+        r_best, t_best = rs[best], ts[best]
+
+        # --- polish -----------------------------------------------------------
+        # initial inlier weights from the best hypothesis
+        pc = pts3d_n @ r_best.T + t_best
         z = jnp.maximum(pc[:, 2], 1e-6)
-        res = pc[:, :2] / z[:, None] - pts2d_n
-        err = jnp.linalg.norm(res, axis=1)
-        inl = (err < threshold_n) & mask & (pc[:, 2] > 0)
-        return jnp.sum(inl), r, t
+        err0 = jnp.linalg.norm(pc[:, :2] / z[:, None] - pts2d_n, axis=1)
+        w0 = ((err0 < threshold_n) & mask).astype(dtype)
+        r_ref, t_ref = _gauss_newton(
+            r_best, t_best, pts3d_n, pts2d_n, w0,
+            iters=refine_iters, huber_delta=threshold_n,
+        )
 
-    scores, rs, ts = jax.vmap(hypothesis)(keys)
-    best = jnp.argmax(scores)
-    r_best, t_best = rs[best], ts[best]
+        # --- final classification & un-precondition ---------------------------
+        pc = pts3d_n @ r_ref.T + t_ref
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        err = jnp.linalg.norm(pc[:, :2] / z[:, None] - pts2d_n, axis=1)
+        inliers = (err < threshold_n) & mask & (pc[:, 2] > 0)
+        num_inliers = jnp.sum(inliers).astype(jnp.int32)
 
-    # --- polish -----------------------------------------------------------
-    # initial inlier weights from the best hypothesis
-    pc = pts3d_n @ r_best.T + t_best
-    z = jnp.maximum(pc[:, 2], 1e-6)
-    err0 = jnp.linalg.norm(pc[:, :2] / z[:, None] - pts2d_n, axis=1)
-    w0 = ((err0 < threshold_n) & mask).astype(dtype)
-    r_ref, t_ref = _gauss_newton(
-        r_best, t_best, pts3d_n, pts2d_n, w0,
-        iters=refine_iters, huber_delta=threshold_n,
-    )
+        t_full = scale * t_ref - r_ref @ centroid
+        finite = jnp.all(jnp.isfinite(r_ref)) & jnp.all(jnp.isfinite(t_full))
+        valid = (num_inliers >= min_inliers) & finite
 
-    # --- final classification & un-precondition ---------------------------
-    pc = pts3d_n @ r_ref.T + t_ref
-    z = jnp.maximum(pc[:, 2], 1e-6)
-    err = jnp.linalg.norm(pc[:, :2] / z[:, None] - pts2d_n, axis=1)
-    inliers = (err < threshold_n) & mask & (pc[:, 2] > 0)
-    num_inliers = jnp.sum(inliers).astype(jnp.int32)
-
-    t_full = scale * t_ref - r_ref @ centroid
-    finite = jnp.all(jnp.isfinite(r_ref)) & jnp.all(jnp.isfinite(t_full))
-    valid = (num_inliers >= min_inliers) & finite
-
-    return PnPResult(r=r_ref, t=t_full, inliers=inliers,
-                     num_inliers=num_inliers, valid=valid)
+        return PnPResult(r=r_ref, t=t_full, inliers=inliers,
+                         num_inliers=num_inliers, valid=valid)
