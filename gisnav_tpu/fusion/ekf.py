@@ -98,13 +98,16 @@ def ekf_predict(state: EKFState, dt, q_diag) -> EKFState:
 
     :param q_diag: (15,) process noise diagonal per second
     """
-    f = partial(_transition, dt=dt)
-    x_new = f(state.x)
-    jac = jax.jacfwd(f)(state.x)
-    q = jnp.diag(q_diag) * jnp.maximum(dt, 1e-6)
-    p_new = jac @ state.p @ jac.T + q
-    x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
-    return EKFState(x=x_new, p=p_new)
+    # f32 matmul precision: covariance propagation in bf16 operands slowly
+    # degrades P's conditioning on TPU; 15x15 matmuls, full precision free
+    with jax.default_matmul_precision("float32"):
+        f = partial(_transition, dt=dt)
+        x_new = f(state.x)
+        jac = jax.jacfwd(f)(state.x)
+        q = jnp.diag(q_diag) * jnp.maximum(dt, 1e-6)
+        p_new = jac @ state.p @ jac.T + q
+        x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
+        return EKFState(x=x_new, p=p_new)
 
 
 @jax.jit
@@ -122,27 +125,29 @@ def ekf_update_pose(state: EKFState, z, r_diag, mask,
         wildly wrong PnP solution (e.g. an aliased match on self-similar
         terrain) must not yank the filter.
     """
-    h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, :POSE_DIM].set(jnp.eye(POSE_DIM))
-    innov = z - state.x[:POSE_DIM]
-    innov = innov.at[3:6].set(_wrap_angle(innov[3:6]))
-    innov = innov * mask
+    # f32 precision: keep the Joseph-form covariance update exact
+    with jax.default_matmul_precision("float32"):
+        h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, :POSE_DIM].set(jnp.eye(POSE_DIM))
+        innov = z - state.x[:POSE_DIM]
+        innov = innov.at[3:6].set(_wrap_angle(innov[3:6]))
+        innov = innov * mask
 
-    # masked-out components get huge variance so they do not move the state
-    r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
-    s = h @ state.p @ h.T + r
-    s_inv = jnp.linalg.inv(s)
-    thr = jnp.asarray(rejection_threshold, jnp.float32)
-    d2 = innov @ s_inv @ innov
-    accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
-    # rejected measurement -> zero gain: x and P pass through unchanged
-    k = accept * (state.p @ h.T @ s_inv)
-    x_new = state.x + k @ innov
-    x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
-    ident = jnp.eye(STATE_DIM)
-    # Joseph form for numerical stability
-    ikh = ident - k @ h
-    p_new = ikh @ state.p @ ikh.T + k @ r @ k.T
-    return EKFState(x=x_new, p=p_new)
+        # masked-out components get huge variance so they do not move the state
+        r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
+        s = h @ state.p @ h.T + r
+        s_inv = jnp.linalg.inv(s)
+        thr = jnp.asarray(rejection_threshold, jnp.float32)
+        d2 = innov @ s_inv @ innov
+        accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
+        # rejected measurement -> zero gain: x and P pass through unchanged
+        k = accept * (state.p @ h.T @ s_inv)
+        x_new = state.x + k @ innov
+        x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
+        ident = jnp.eye(STATE_DIM)
+        # Joseph form for numerical stability
+        ikh = ident - k @ h
+        p_new = ikh @ state.p @ ikh.T + k @ r @ k.T
+        return EKFState(x=x_new, p=p_new)
 
 
 @jax.jit
@@ -156,18 +161,20 @@ def ekf_update_velocity(state: EKFState, z, r_diag, mask,
     measurements before fusing (the reference fuses VO this way,
     ``ekf_global_node.yaml:41-47``).
     """
-    h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, 6:12].set(jnp.eye(POSE_DIM))
-    innov = (z - state.x[6:12]) * mask
-    r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
-    s = h @ state.p @ h.T + r
-    s_inv = jnp.linalg.inv(s)
-    thr = jnp.asarray(rejection_threshold, jnp.float32)
-    d2 = innov @ s_inv @ innov
-    accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
-    k = accept * (state.p @ h.T @ s_inv)
-    x_new = state.x + k @ innov
-    x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
-    ident = jnp.eye(STATE_DIM)
-    ikh = ident - k @ h
-    p_new = ikh @ state.p @ ikh.T + k @ r @ k.T
-    return EKFState(x=x_new, p=p_new)
+    # f32 precision: keep the Joseph-form covariance update exact
+    with jax.default_matmul_precision("float32"):
+        h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, 6:12].set(jnp.eye(POSE_DIM))
+        innov = (z - state.x[6:12]) * mask
+        r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
+        s = h @ state.p @ h.T + r
+        s_inv = jnp.linalg.inv(s)
+        thr = jnp.asarray(rejection_threshold, jnp.float32)
+        d2 = innov @ s_inv @ innov
+        accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
+        k = accept * (state.p @ h.T @ s_inv)
+        x_new = state.x + k @ innov
+        x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
+        ident = jnp.eye(STATE_DIM)
+        ikh = ident - k @ h
+        p_new = ikh @ state.p @ ikh.T + k @ r @ k.T
+        return EKFState(x=x_new, p=p_new)

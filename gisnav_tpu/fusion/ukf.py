@@ -51,42 +51,52 @@ def _sigma_points(x, p):
 
 @jax.jit
 def ukf_predict(state: EKFState, dt, q_diag) -> EKFState:
-    """Unscented predict: propagate sigma points through the motion model."""
-    sigmas = _sigma_points(state.x, state.p)
-    prop = jax.vmap(partial(_transition, dt=dt))(sigmas)
-    x_new = prop.T @ _WM
-    diff = prop - x_new[None]
-    p_new = jnp.einsum("i,ij,ik->jk", _WC, diff, diff)
-    p_new = p_new + jnp.diag(q_diag) * jnp.maximum(dt, 1e-6)
-    x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
-    return EKFState(x=x_new, p=p_new)
+    """Unscented predict: propagate sigma points through the motion model.
+
+    f32 matmul precision is forced: sigma points carry ABSOLUTE map-frame
+    positions, and the TPU MXU's default bf16 operand precision would
+    truncate them (~4 m per km of flight) in the ``prop.T @ _WM`` mean —
+    15x31 matmuls, full precision is free.
+    """
+    with jax.default_matmul_precision("float32"):
+        sigmas = _sigma_points(state.x, state.p)
+        prop = jax.vmap(partial(_transition, dt=dt))(sigmas)
+        x_new = prop.T @ _WM
+        diff = prop - x_new[None]
+        p_new = jnp.einsum("i,ij,ik->jk", _WC, diff, diff)
+        p_new = p_new + jnp.diag(q_diag) * jnp.maximum(dt, 1e-6)
+        x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
+        return EKFState(x=x_new, p=p_new)
 
 
 def _ukf_update(state: EKFState, z, r_diag, mask, obs_slice,
                 rejection_threshold=0.0) -> EKFState:
-    sigmas = _sigma_points(state.x, state.p)
-    zs = sigmas[:, obs_slice]  # linear observation of a state slice
-    z_pred = zs.T @ _WM
-    dz = zs - z_pred[None]
-    dx = sigmas - state.x[None]
-    r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
-    s = jnp.einsum("i,ij,ik->jk", _WC, dz, dz) + r
-    c = jnp.einsum("i,ij,ik->jk", _WC, dx, dz)
-    s_inv = jnp.linalg.inv(s)
-    innov = z - z_pred
-    if obs_slice.start == 0:  # pose observation: wrap angle residuals
-        innov = innov.at[3:6].set(_wrap_angle(innov[3:6]))
-    innov = innov * mask
-    # Mahalanobis innovation gate (robot_localization's
-    # poseN_rejection_threshold); <= 0 disables
-    thr = jnp.asarray(rejection_threshold, jnp.float32)
-    d2 = innov @ s_inv @ innov
-    accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
-    k = accept * (c @ s_inv)
-    x_new = state.x + k @ innov
-    x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
-    p_new = state.p - k @ s @ k.T
-    return EKFState(x=x_new, p=p_new)
+    # f32 precision for the same reason as ukf_predict: z_pred carries
+    # absolute positions through a matmul
+    with jax.default_matmul_precision("float32"):
+        sigmas = _sigma_points(state.x, state.p)
+        zs = sigmas[:, obs_slice]  # linear observation of a state slice
+        z_pred = zs.T @ _WM
+        dz = zs - z_pred[None]
+        dx = sigmas - state.x[None]
+        r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
+        s = jnp.einsum("i,ij,ik->jk", _WC, dz, dz) + r
+        c = jnp.einsum("i,ij,ik->jk", _WC, dx, dz)
+        s_inv = jnp.linalg.inv(s)
+        innov = z - z_pred
+        if obs_slice.start == 0:  # pose observation: wrap angle residuals
+            innov = innov.at[3:6].set(_wrap_angle(innov[3:6]))
+        innov = innov * mask
+        # Mahalanobis innovation gate (robot_localization's
+        # poseN_rejection_threshold); <= 0 disables
+        thr = jnp.asarray(rejection_threshold, jnp.float32)
+        d2 = innov @ s_inv @ innov
+        accept = jnp.where((thr <= 0.0) | (d2 <= thr * thr), 1.0, 0.0)
+        k = accept * (c @ s_inv)
+        x_new = state.x + k @ innov
+        x_new = x_new.at[3:6].set(_wrap_angle(x_new[3:6]))
+        p_new = state.p - k @ s @ k.T
+        return EKFState(x=x_new, p=p_new)
 
 
 @jax.jit
