@@ -170,4 +170,6 @@ def rotate_and_crop_center_shear(
         ]
     )
     shift = jnp.array([[1.0, 0.0, dx], [0.0, 1.0, dy], [0.0, 0.0, 1.0]])
-    return crop, inv_rot @ shift
+    # f32: the translation entries are raster-scale; bf16 steps them by 8 px
+    with jax.default_matmul_precision("float32"):
+        return crop, inv_rot @ shift

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,7 +143,8 @@ def rotate_and_crop_center(
                 [0.0, 0.0, 1.0],
             ]
         )
-        cropped_to_original = inv_rot @ shift_scale
+        with jax.default_matmul_precision("float32"):
+            cropped_to_original = inv_rot @ shift_scale
         out = warp_affine(stack, cropped_to_original, (ch, cw))
         return out, cropped_to_original
     # forward (original -> rotated) rotation about center, y-down frame
@@ -163,7 +165,8 @@ def rotate_and_crop_center(
     )
     # cropped -> original: shift by crop offset, then undo rotation
     shift = jnp.array([[1.0, 0.0, dx], [0.0, 1.0, dy], [0.0, 0.0, 1.0]])
-    cropped_to_original = inv_rot @ shift
+    with jax.default_matmul_precision("float32"):
+        cropped_to_original = inv_rot @ shift
     del fwd
     out = warp_affine(stack, cropped_to_original, (ch, cw))
     return out, cropped_to_original
