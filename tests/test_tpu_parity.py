@@ -229,6 +229,45 @@ class TestLightGlueFused:
         assert agree > 0.98
 
 
+class TestPnPPrecisionAtRasterScale:
+    def test_known_pose_recovered_at_2048px_coords(self, nprng):
+        """ransac_pnp must recover an exact synthetic pose from coordinates
+        at headline raster scale (~2048 px). Regression for the MXU default
+        bf16 operand precision: raw pixels quantize at ~8 px in bf16, which
+        equals the inlier threshold — the f32 wrap keeps reprojection
+        errors at f32 rounding scale."""
+        import numpy as np
+
+        from gisnav_tpu.pnp.ransac import ransac_pnp
+
+        rng = np.random.default_rng(5)
+        n = 256
+        pts3d = np.zeros((n, 3), np.float32)
+        pts3d[:, 0] = rng.uniform(1200, 2040, n)   # far corner of the raster
+        pts3d[:, 1] = rng.uniform(1200, 2040, n)
+        pts3d[:, 2] = rng.uniform(-3, 3, n)
+        a = np.radians(20.0)
+        c, s = np.cos(a), np.sin(a)
+        r_true = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)
+        t_true = np.array([-1500.0, -1100.0, 900.0], np.float32)
+        k = np.array([[1000.0, 0, 960], [0, 1000.0, 540], [0, 0, 1]],
+                     np.float32)
+        pc = pts3d @ r_true.T + t_true
+        pts2d = (pc @ k.T)
+        pts2d = pts2d[:, :2] / pts2d[:, 2:3]
+
+        res = jax.jit(ransac_pnp)(
+            jnp.asarray(pts3d), jnp.asarray(pts2d), jnp.asarray(k),
+            jnp.ones(n, bool), key=jax.random.PRNGKey(0))
+        assert bool(res.valid)
+        assert int(res.num_inliers) > n * 0.9
+        # camera center must match to well under a pixel
+        cam_true = -r_true.T @ t_true
+        cam_got = np.asarray(-np.asarray(res.r).T @ np.asarray(res.t))
+        err = np.linalg.norm(cam_got - cam_true)
+        assert err < 0.5, (err, cam_got, cam_true)
+
+
 class TestGeoposeAssemblyPrecision:
     def test_absolute_lonlat_not_bf16_truncated(self, nprng):
         """assemble_geopose must force f32 matmul precision: the default TPU
