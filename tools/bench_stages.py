@@ -120,6 +120,28 @@ def main():
     if args.what in ("lightglue", "all"):
         bench_lightglue(args, rng)
 
+    if args.what in ("select", "all"):
+        bench_select(args, rng)
+
+
+def bench_select(args, rng):
+    """Keypoint selection (Pallas NMS cell-max + table gather + refine) —
+    the stage the gather-free table rewrite targets."""
+    import jax
+    import jax.numpy as jnp
+
+    from gisnav_tpu.features.nms import select_keypoints
+
+    h, w = args.hw
+    heat = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+
+    def sel(hm):
+        kp, sc, valid = select_keypoints(hm, 2048)
+        return kp.sum() + sc.sum() + valid.sum()
+
+    ms = _timed(sel, heat, reps=args.reps, inner=args.inner)
+    print(f"{'select 2048kp (nms+topk+table)':30s} {ms:7.3f} ms")
+
 
 def bench_lightglue(args, rng):
     """Breakdown of the LightGlue-9 matcher at 2048 vs 4096 keypoints."""
