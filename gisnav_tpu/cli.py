@@ -183,6 +183,46 @@ def _cmd_replay(args) -> int:
     return 0 if summary.get("pass_10m", 0) == summary["frames"] else 1
 
 
+def _cmd_health(args) -> int:
+    """Wait for a ``/gisnav/health`` heartbeat on the shm bus; exit 0/1.
+
+    The container healthcheck equivalent of the reference's
+    ``ros2 topic echo --once`` compose probes
+    (``docker/docker-compose.healthcheck.yaml`` in hmakelin/gisnav): a
+    separate process attaches to the running graph's shared-memory bus and
+    requires one heartbeat (published every 5 s by ``GisNavApp``) within
+    ``--timeout``. With ``--strict``, every node in the report must also be
+    healthy.
+    """
+    import threading
+
+    from gisnav_tpu.nodes.bus import ShmBus
+
+    got = threading.Event()
+    report = {}
+
+    def on_health(msg):
+        report.update(msg)
+        got.set()
+
+    bus = ShmBus(namespace=args.namespace)
+    try:
+        bus.subscribe("/gisnav/health", on_health)
+        if not got.wait(timeout=args.timeout):
+            print(f"UNHEALTHY: no heartbeat within {args.timeout:.0f} s")
+            return 1
+        unhealthy = [n for n, r in report.items() if not r.get("healthy")]
+        if args.strict and unhealthy:
+            print(f"UNHEALTHY nodes: {', '.join(unhealthy)}")
+            return 1
+        print(f"healthy ({len(report)} nodes"
+              + (f", idle: {', '.join(unhealthy)}" if unhealthy else "")
+              + ")")
+        return 0
+    finally:
+        bus.close()
+
+
 def _cmd_doctor(args) -> int:
     """Environment self-check (devices, native lib, WMS reachability)."""
     import subprocess
@@ -399,6 +439,16 @@ def main(argv=None) -> int:
     rp.add_argument("--out", default=None, help="write full JSON report")
     rp.add_argument("--quiet", action="store_true")
     rp.set_defaults(fn=_cmd_replay)
+
+    health = sub.add_parser(
+        "health", help="probe a running graph's heartbeat (shm bus)")
+    health.add_argument("--namespace", default="gisnav")
+    health.add_argument("--timeout", type=float, default=12.0,
+                        help="max seconds to wait for one heartbeat "
+                             "(published every 5 s)")
+    health.add_argument("--strict", action="store_true",
+                        help="also require every node to report healthy")
+    health.set_defaults(fn=_cmd_health)
 
     doctor = sub.add_parser("doctor", help="environment self-check")
     doctor.add_argument("--wms-url", default=None)

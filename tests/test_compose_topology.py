@@ -34,6 +34,13 @@ class TestPerceptionCompose:
         for name in ("mapserver", "postgres"):
             assert "healthcheck" in services[name], name
 
+    def test_gisnav_healthcheck_rides_the_shm_bus(self):
+        """The heartbeat probe is a separate process — the graph must run
+        on the shm transport for it to attach."""
+        svc = _load("docker-compose.yaml")["services"]["gisnav"]
+        assert "--shm" in svc["command"]
+        assert "health" in svc["healthcheck"]["test"]
+
 
 class TestVehicleCompose:
     def test_constellation_services_present(self):

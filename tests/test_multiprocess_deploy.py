@@ -64,3 +64,45 @@ class TestSerialProcessOverShmBus:
             proc.wait(timeout=10)
             if bus is not None:
                 bus.close()
+
+
+class TestHealthProbeOverShmBus:
+    def test_health_cli_sees_heartbeat(self, tmp_path):
+        """`gisnav_tpu health` (a separate process) must observe heartbeats
+        published on the shm bus and exit 0 — the compose healthcheck path."""
+        ns = f"h{os.getpid()}"
+        bus = ShmBus(namespace=ns)
+        try:
+            stop = False
+
+            def beat():
+                while not stop:
+                    bus.publish("/gisnav/health",
+                                {"pose_node": {"idle_s": 0.1,
+                                               "healthy": True}})
+                    time.sleep(0.5)
+
+            import threading
+
+            t = threading.Thread(target=beat, daemon=True)
+            t.start()
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            proc = subprocess.run(
+                [sys.executable, "-m", "gisnav_tpu", "health",
+                 "--namespace", ns, "--timeout", "10", "--strict"],
+                capture_output=True, text=True, cwd=REPO, env=env,
+                timeout=60)
+            stop = True
+            assert proc.returncode == 0, (proc.stdout, proc.stderr)
+            assert "healthy" in proc.stdout
+        finally:
+            bus.close()
+
+    def test_health_cli_fails_without_heartbeat(self):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, "-m", "gisnav_tpu", "health",
+             "--namespace", f"none{os.getpid()}", "--timeout", "2"],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=60)
+        assert proc.returncode == 1
+        assert "UNHEALTHY" in proc.stdout
