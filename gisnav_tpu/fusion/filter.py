@@ -21,7 +21,6 @@ from gisnav_tpu.fusion.ekf import (
     ekf_update_velocity,
 )
 from gisnav_tpu.geometry.quaternion import (
-    matrix_to_quat,
     quat_inverse,
     quat_mul,
     quat_to_euler,

@@ -9,7 +9,7 @@ reference's MapServer/NAIP/USGS stack works unchanged as the backing service.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ Weight layout is converter-compatible with the official PyTorch release (see
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ Outputs feed ``pnp.ransac_pnp`` exactly like the sparse path.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

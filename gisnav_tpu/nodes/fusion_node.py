@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
 
 from gisnav_tpu.constants import ROS_TOPIC_ROBOT_LOCALIZATION_ODOMETRY
 from gisnav_tpu.fusion import PoseFusionFilter

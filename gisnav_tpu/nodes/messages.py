@@ -7,7 +7,7 @@ onto ROS types at the (optional) rclpy adapter boundary.
 """
 from __future__ import annotations
 
-from typing import Optional, TypedDict
+from typing import TypedDict
 
 import numpy as np
 

@@ -9,7 +9,6 @@ fly the synthetic world through it with the deep backend.
 import argparse
 import json
 
-import numpy as np
 import pytest
 
 import tests.test_integration as ti

@@ -7,11 +7,9 @@ pyproj's EGM96 transform (``extensions/_mock_gps_node.py:57-65,392-408``).
 import time
 
 import numpy as np
-import pytest
 
 from gisnav_tpu.nodes.bus import LocalBus
 from gisnav_tpu.nodes.fusion_node import TOPIC_ODOMETRY, FusionNode
-from gisnav_tpu.nodes.pose_node import TOPIC_POSE
 from gisnav_tpu.nodes.twist_node import TOPIC_TWIST_POSE
 
 

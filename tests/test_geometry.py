@@ -1,6 +1,5 @@
 """Golden-value tests for the geometry layer (vs scipy and known constants)."""
 import numpy as np
-import pytest
 from scipy.spatial.transform import Rotation
 
 from gisnav_tpu.geometry import (

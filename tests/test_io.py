@@ -4,7 +4,6 @@ import numpy as np
 from gisnav_tpu.io import (
     decimal_to_nmea,
     make_gga,
-    make_gsv,
     make_hdt,
     make_nav_pvt,
     make_rmc,

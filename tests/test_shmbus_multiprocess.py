@@ -11,7 +11,6 @@ import os
 import time
 
 import numpy as np
-import pytest
 
 from gisnav_tpu.nodes.bus import ShmBus, _NativeLib, _segment_name
 
