@@ -172,6 +172,7 @@ def _cmd_replay(args) -> int:
         prior=args.prior,
         max_keypoints=args.max_keypoints,
         lightglue_depth=args.depth,
+        fused=args.fused,
         progress=progress if not args.quiet else None,
     )
     summary = summarize(report)
@@ -436,6 +437,9 @@ def main(argv=None) -> int:
                     default="previous")
     rp.add_argument("--max-keypoints", type=int, default=None)
     rp.add_argument("--depth", type=int, default=None)
+    rp.add_argument("--fused", action="store_true",
+                    help="also evaluate the UKF-fused track (the "
+                         "reference's ULog analysis evaluates EKF2 output)")
     rp.add_argument("--out", default=None, help="write full JSON report")
     rp.add_argument("--quiet", action="store_true")
     rp.set_defaults(fn=_cmd_replay)

@@ -53,11 +53,19 @@ def _rot_from_rpy(rpy):
 
 
 def _euler_rate_matrix(rpy):
-    """Maps body angular velocity to euler-angle rates."""
+    """Maps body angular velocity to euler-angle rates.
+
+    tan/sec are clamped to the flyable-pitch regime (|pitch| <~ 84 deg):
+    near the euler singularity they reach 1e6 and a SAMPLED covariance
+    (UKF sigma points with wide angular-rate spread push pitch through
+    +-pi/2) squares that into the state covariance — observed P inflating
+    to 1e11 within three predicts. A multicopter/gimbal never flies the
+    clamped regime; the EKF's jacobians get the same protection.
+    """
     r, p = rpy[0], rpy[1]
     cr, sr = jnp.cos(r), jnp.sin(r)
-    cp = jnp.maximum(jnp.cos(p), 1e-6)
-    tp = jnp.tan(p)
+    cp = jnp.maximum(jnp.cos(p), 0.1)
+    tp = jnp.clip(jnp.tan(p), -10.0, 10.0)
     return jnp.array(
         [
             [1.0, sr * tp, cr * tp],

@@ -109,7 +109,11 @@ class PoseFusionFilter:
         x0[3:6] = rpy
         p0 = np.concatenate([
             np.full(6, 1e-4, np.float32),  # pose: trusted
-            np.full(6, 25.0, np.float32),  # velocity: unknown (+-5 m/s SD)
+            np.full(3, 25.0, np.float32),  # velocity: unknown (+-5 m/s SD)
+            # angular rate: +-1 rad/s SD — NOT 25: sigma-point filters
+            # sample sqrt-P-scaled rate deviations through the euler-rate
+            # trig, and +-5 rad/s spreads push pitch past the singularity
+            np.full(3, 1.0, np.float32),
             np.full(3, 10.0, np.float32),  # acceleration: unknown
         ])
         self._state = ekf_init(x0, p0_diag=p0)

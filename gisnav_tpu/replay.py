@@ -93,6 +93,7 @@ def replay(
     prior: str = "previous",
     max_keypoints: Optional[int] = None,
     lightglue_depth: Optional[int] = None,
+    fused: bool = False,
     progress=None,
 ) -> Dict:
     """Run the production runner over a dataset; return per-frame results.
@@ -100,6 +101,10 @@ def replay(
     :param prior: position-prior mode — ``none`` (no gating), ``previous``
         (last valid estimate, production-like dead reckoning), ``truth``
         (ground truth; upper-bounds what a good EKF prior would give)
+    :param fused: also run the per-frame poses through the production UKF
+        (position-only fusion, innovation gating) and report the FUSED
+        track's error per frame — the reference's ULog analysis evaluates
+        EKF2's fused output, not raw matcher fixes
     """
     from gisnav_tpu.geometry.crs import haversine_m, pixel_to_wgs84_affine
     from gisnav_tpu.pipeline.runners import (
@@ -123,6 +128,28 @@ def replay(
     if backend != "deep":
         raise ValueError(f"unsupported replay backend {backend!r}")
     runner = make_cached_deep_runner(params, cfg)
+
+    ukf = None
+    if fused:
+        from gisnav_tpu.fusion.filter import PoseFusionFilter, SensorConfig
+
+        # position-only fusion with the production innovation gate; the
+        # local frame is ENU meters about the map center
+        ukf = PoseFusionFilter(
+            {"deep": SensorConfig(
+                fuse_mask=(True, True, True, False, False, False),
+                rejection_threshold=3.0)},
+            backend="ukf",
+        )
+    lat_c = 0.5 * (bottom + top)
+    m_lat = 111_320.0
+    m_lon_c = m_lat * np.cos(np.radians(lat_c))
+    lon_c = 0.5 * (left + right)
+
+    def to_enu(lon, lat, alt):
+        return np.array([(lon - lon_c) * m_lon_c,
+                         (lat - lat_c) * m_lat,
+                         alt], np.float64)
 
     results = []
     prior_lonlat = None
@@ -155,6 +182,17 @@ def replay(
             "up_m": round(float(lla[2] - row["alt"]), 3),
             "alt_agl": round(agl, 1),
         }
+        if ukf is not None:
+            if valid:
+                ukf.submit("deep", row["stamp_us"],
+                           to_enu(lla[0], lla[1], lla[2]),
+                           np.array([0.0, 0.0, 0.0, 1.0]))
+            est = ukf.state_at(row["stamp_us"])
+            if est is not None:
+                err = est["position"] - to_enu(row["lon"], row["lat"],
+                                               row["alt"])
+                res["fused_horiz_m"] = round(float(np.hypot(*err[:2])), 3)
+                res["fused_up_m"] = round(float(err[2]), 3)
         results.append(res)
         if valid and horiz < 200.0:
             prior_lonlat = (float(lla[0]), float(lla[1]))
@@ -189,4 +227,14 @@ def summarize(report: Dict) -> Dict:
             if band:
                 key = f"mean_horiz_{lo}_{'inf' if hi > 1e8 else int(hi)}m_agl"
                 out[key] = round(float(np.mean(band)), 2)
+    fused = [r for r in rows if "fused_horiz_m" in r]
+    if fused:
+        out["fused_frames"] = len(fused)
+        out["fused_mean_horiz_m"] = round(
+            float(np.mean([r["fused_horiz_m"] for r in fused])), 2)
+        out["fused_max_horiz_m"] = round(
+            float(np.max([r["fused_horiz_m"] for r in fused])), 2)
+        out["fused_pass_10m"] = sum(
+            1 for r in fused
+            if r["fused_horiz_m"] < 10.0 and abs(r["fused_up_m"]) < 10.0)
     return out

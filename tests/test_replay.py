@@ -102,6 +102,7 @@ class TestReplayEndToEnd:
         _write_dataset(str(tmp_path), n_frames=4)
         report = replay(
             str(tmp_path), weights="harris_lg5", prior="previous",
+            fused=True,
         )
         summary = summarize(report)
         assert summary["frames"] == 4
@@ -112,3 +113,7 @@ class TestReplayEndToEnd:
         assert summary["mean_horiz_m"] < 10.0
         assert "mean_abs_east_m" in summary
         assert "mean_horiz_150_800m_agl" in summary
+        # the UKF-fused track (the reference evaluates EKF2 output) must
+        # track at least as tightly once initialized
+        assert summary["fused_frames"] >= 3
+        assert summary["fused_mean_horiz_m"] < 10.0
