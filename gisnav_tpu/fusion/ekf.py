@@ -135,13 +135,18 @@ def ekf_update_pose(state: EKFState, z, r_diag, mask,
     """
     # f32 precision: keep the Joseph-form covariance update exact
     with jax.default_matmul_precision("float32"):
-        h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, :POSE_DIM].set(jnp.eye(POSE_DIM))
+        h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, :POSE_DIM].set(
+            jnp.eye(POSE_DIM))
+        # masked components: zero their H rows and unit their R diag — the
+        # gain columns become exactly zero and S stays well-conditioned
+        # (a 1e12 masked variance makes S's f32 inverse leak error into the
+        # live block; see the UKF's identical fix)
+        h = h * mask[:, None]
         innov = z - state.x[:POSE_DIM]
         innov = innov.at[3:6].set(_wrap_angle(innov[3:6]))
         innov = innov * mask
 
-        # masked-out components get huge variance so they do not move the state
-        r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
+        r = jnp.diag(jnp.where(mask > 0, r_diag, 1.0))
         s = h @ state.p @ h.T + r
         s_inv = jnp.linalg.inv(s)
         thr = jnp.asarray(rejection_threshold, jnp.float32)
@@ -171,9 +176,11 @@ def ekf_update_velocity(state: EKFState, z, r_diag, mask,
     """
     # f32 precision: keep the Joseph-form covariance update exact
     with jax.default_matmul_precision("float32"):
-        h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, 6:12].set(jnp.eye(POSE_DIM))
+        h = jnp.zeros((POSE_DIM, STATE_DIM)).at[:, 6:12].set(
+            jnp.eye(POSE_DIM))
+        h = h * mask[:, None]  # see ekf_update_pose
         innov = (z - state.x[6:12]) * mask
-        r = jnp.diag(jnp.where(mask > 0, r_diag, 1e12))
+        r = jnp.diag(jnp.where(mask > 0, r_diag, 1.0))
         s = h @ state.p @ h.T + r
         s_inv = jnp.linalg.inv(s)
         thr = jnp.asarray(rejection_threshold, jnp.float32)
