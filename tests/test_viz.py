@@ -32,8 +32,9 @@ class TestDrawPosition:
         ref = np.zeros((64, 64), np.uint8)
         img = draw_position(ref, np.array([32.0, 40.0, 100.0]))
         assert img is not None
-        # green disc at the position
-        assert img[40, 32, 1] > 200
+        # green disc at the position (off the red center cross, which
+        # overdraws the exact center along the axes)
+        assert img[44, 36, 1] > 200
 
     def test_outside_raster_returns_none(self):
         """The reference warns and skips when the solved position is off the
