@@ -169,6 +169,7 @@ def _cmd_replay(args) -> int:
     report = replay(
         args.dataset,
         weights=args.weights,
+        backend=args.backend,
         prior=args.prior,
         max_keypoints=args.max_keypoints,
         lightglue_depth=args.depth,
@@ -432,6 +433,8 @@ def main(argv=None) -> int:
     rp = sub.add_parser(
         "replay", help="offline replay of recorded frames vs ground truth")
     rp.add_argument("dataset", help="dataset dir (see gisnav_tpu/replay.py)")
+    rp.add_argument("--backend", choices=("deep", "classical"),
+                    default="deep")
     rp.add_argument("--weights", default="learned_lg9")
     rp.add_argument("--prior", choices=("none", "previous", "truth"),
                     default="previous")

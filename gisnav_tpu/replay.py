@@ -107,6 +107,7 @@ def replay(
         EKF2's fused output, not raw matcher fixes
     """
     from gisnav_tpu.geometry.crs import haversine_m, pixel_to_wgs84_affine
+    from gisnav_tpu.pipeline.geopose import geopose_to_wgs84_f64
     from gisnav_tpu.pipeline.runners import (
         load_bundled,
         make_cached_deep_runner,
@@ -118,16 +119,37 @@ def replay(
     aff = pixel_to_wgs84_affine(oh, ow, left, bottom, right, top)
     ground_m = float(np.mean(ds["dem"]))
 
-    params, cfg = load_bundled(weights)
-    cfg = dataclasses.replace(
-        cfg,
-        image_shape=ds["image_size"],
-        **({"max_keypoints": max_keypoints} if max_keypoints else {}),
-        **({"lightglue_depth": lightglue_depth} if lightglue_depth else {}),
-    )
-    if backend != "deep":
+    if backend == "deep":
+        params, cfg = load_bundled(weights)
+        cfg = dataclasses.replace(
+            cfg,
+            image_shape=ds["image_size"],
+            **({"max_keypoints": max_keypoints} if max_keypoints else {}),
+            **({"lightglue_depth": lightglue_depth} if lightglue_depth
+               else {}),
+        )
+        runner = make_cached_deep_runner(params, cfg)
+
+        def step(frame, row, agl, use_prior):
+            return runner(
+                frame, ds["ortho"], ds["dem"], 0.0, ds["k"], aff,
+                map_stamp=1, altitude_agl=agl, prior_lonlat=use_prior,
+            )
+    elif backend == "classical":
+        from gisnav_tpu.pipeline import PipelineConfig
+        from gisnav_tpu.pipeline.classical import classical_frame_to_geopose
+
+        ccfg = PipelineConfig(image_shape=ds["image_size"],
+                              max_keypoints=max_keypoints or 1024)
+
+        def step(frame, row, agl, use_prior):
+            # host SIFT wants the reference rotated to the camera yaw
+            return classical_frame_to_geopose(
+                frame, ds["ortho"], ds["dem"], -row["yaw_deg"],
+                ds["k"], aff, config=ccfg,
+            )
+    else:
         raise ValueError(f"unsupported replay backend {backend!r}")
-    runner = make_cached_deep_runner(params, cfg)
 
     ukf = None
     if fused:
@@ -161,13 +183,16 @@ def replay(
             use_prior = (row["lon"], row["lat"])
         elif prior == "previous":
             use_prior = prior_lonlat
-        pose = runner(
-            frame, ds["ortho"], ds["dem"], 0.0, ds["k"], aff,
-            map_stamp=1, altitude_agl=agl,
-            prior_lonlat=use_prior,
-        )
-        lla = np.asarray(pose.lon_lat_alt, np.float64)
+        pose = step(frame, row, agl, use_prior)
+        # f64 host re-assembly: the device returns f32 lon/lat (~0.2 m
+        # quantization); error statistics deserve full precision
+        out64 = geopose_to_wgs84_f64(pose, np.asarray(aff, np.float64))
+        lla = np.array([out64["lon"], out64["lat"],
+                        out64["alt_ellipsoid"]], np.float64)
         valid = bool(pose.valid)
+        if not np.all(np.isfinite(lla)):
+            lla = np.asarray(pose.lon_lat_alt, np.float64)
+            valid = False
         horiz = float(haversine_m(row["lat"], row["lon"], lla[1], lla[0]))
         # per-axis errors like the reference's ULog notebook (ENU meters)
         m_lat = 111_320.0

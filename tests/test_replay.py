@@ -117,3 +117,12 @@ class TestReplayEndToEnd:
         # track at least as tightly once initialized
         assert summary["fused_frames"] >= 3
         assert summary["fused_mean_horiz_m"] < 10.0
+
+    def test_classical_backend_localizes(self, tmp_path):
+        """The host-SIFT classical backend (the reference's CPU config)
+        through the same file-based harness."""
+        _write_dataset(str(tmp_path), n_frames=3)
+        report = replay(str(tmp_path), backend="classical")
+        summary = summarize(report)
+        assert summary["valid"] >= 2
+        assert summary["mean_horiz_m"] < 10.0
