@@ -376,6 +376,14 @@ def _cmd_fleet(args) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="gisnav_tpu")
+    try:
+        from importlib.metadata import version as _v
+
+        _ver = _v("gisnav-tpu")
+    except Exception:  # source checkout without install
+        _ver = "0.1.0"
+    parser.add_argument("--version", action="version",
+                        version=f"gisnav_tpu {_ver}")
     sub = parser.add_subparsers(dest="command", required=True)
 
     run = sub.add_parser("run", help="launch the full node graph")
