@@ -9,6 +9,7 @@ fixed output rate, and sensor timeouts.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -68,9 +69,17 @@ class PoseFusionFilter:
         sensors: Dict[str, SensorConfig],
         process_noise: Optional[np.ndarray] = None,
         backend: str = "ekf",
+        reset_after_s: float = 30.0,
     ):
         """``backend``: "ekf" (default) or "ukf" — the reference runs its
-        global filter as a UKF and its local one as an EKF."""
+        global filter as a UKF and its local one as an EKF.
+
+        ``reset_after_s``: measurement-gap ceiling. Predicting across a
+        multi-minute dropout (e.g. frames dropped while device programs
+        compile) grows the covariance beyond f32 range and NaNs the filter;
+        past this gap an absolute measurement RE-SEEDS the state instead
+        (robot_localization's sensor-timeout behavior), and state queries
+        clamp their extrapolation horizon to it."""
         if backend == "ukf":
             from gisnav_tpu.fusion import ukf as _k
 
@@ -89,10 +98,22 @@ class PoseFusionFilter:
         self._state: Optional[EKFState] = None
         self._stamp_us: Optional[int] = None
         self._prev_pose: Dict[str, Tuple[int, np.ndarray, np.ndarray]] = {}
+        # submit/state_at run on different bus worker threads plus the
+        # fixed-rate output timer; the (x, P) read-modify-write must be
+        # atomic — a torn pair NaNs the filter within seconds of flight
+        # (jitted kernels release the GIL, so the race is real)
+        self._mutex = threading.RLock()
+        self._reset_after_s = float(reset_after_s)
 
     @property
     def initialized(self) -> bool:
         return self._state is not None
+
+    @property
+    def latest_stamp_us(self):
+        """Stamp of the newest fused measurement (None before init)."""
+        with self._mutex:
+            return self._stamp_us
 
     def set_pose(self, stamp_us: int, position, quat_xyzw) -> None:
         """Hard-set the filter pose (the reference seeds its EKF once via the
@@ -103,6 +124,10 @@ class PoseFusionFilter:
         with a tiny velocity variance the filter would refuse to learn
         motion and lag badly, then overshoot).
         """
+        with self._mutex:
+            return self._set_pose_locked(stamp_us, position, quat_xyzw)
+
+    def _set_pose_locked(self, stamp_us: int, position, quat_xyzw) -> None:
         rpy = quat_to_euler(np.asarray(quat_xyzw))
         x0 = np.zeros(15, np.float32)
         x0[0:3] = np.asarray(position)
@@ -138,16 +163,33 @@ class PoseFusionFilter:
         )
         mask = np.asarray(cfg.fuse_mask, np.float32)
 
+        with self._mutex:
+            self._submit_locked(cfg, sensor, int(stamp_us), position,
+                                quat_xyzw, r_diag, mask)
+
+    def _submit_locked(self, cfg, sensor, stamp_us, position, quat_xyzw,
+                       r_diag, mask) -> None:
         if self._state is None:
             if cfg.differential:
                 # differential sensors cannot initialize an absolute state
                 self._prev_pose[sensor] = (int(stamp_us), position, quat_xyzw)
                 return
-            self.set_pose(stamp_us, position, quat_xyzw)
+            self._set_pose_locked(stamp_us, position, quat_xyzw)
             return
 
         if stamp_us < self._stamp_us:
             return  # stale measurement (robot_localization drops these too)
+
+        gap_s = (stamp_us - self._stamp_us) / 1e6
+        if gap_s > self._reset_after_s:
+            # dropout longer than the trustable prediction horizon: re-seed
+            # from an absolute measurement, re-arm a differential one
+            if cfg.differential:
+                self._prev_pose[sensor] = (int(stamp_us), position,
+                                           quat_xyzw)
+                return
+            self._set_pose_locked(stamp_us, position, quat_xyzw)
+            return
 
         self._predict_to(int(stamp_us))
 
@@ -184,10 +226,15 @@ class PoseFusionFilter:
             angular_velocity_body (3,), covariance (15, 15) — or None if the
             filter has not been initialized yet.
         """
-        if self._state is None:
-            return None
-        state = self._state
-        dt = (stamp_us - self._stamp_us) / 1e6
+        with self._mutex:  # consistent (state, stamp) snapshot
+            if self._state is None:
+                return None
+            state = self._state
+            dt = (stamp_us - self._stamp_us) / 1e6
+        # clamp the extrapolation horizon (a query far past the newest
+        # measurement — e.g. wall-clock output timers during a compile
+        # stall — must not blow the covariance through f32 range)
+        dt = min(dt, self._reset_after_s)
         if dt > 0:
             state = self._predict(state, np.float32(dt), self._q)
         x = np.asarray(state.x, np.float64)

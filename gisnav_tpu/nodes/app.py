@@ -162,4 +162,7 @@ class GisNavApp:
         self._stop.set()
         for t in self._threads:
             t.join(timeout=2.0)
+        close = getattr(self.bus, "close", None)
+        if close is not None:
+            close()
         return {n.name: n.timing_stats() for n in self.nodes}

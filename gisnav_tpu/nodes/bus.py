@@ -57,6 +57,7 @@ class LocalBus:
         self._async = async_dispatch
         self._queues: Dict[int, List] = {}
         self._lock = threading.Lock()
+        self._workers: List = []  # (queue, thread) pairs, async mode
 
     def subscribe(self, topic: str, callback: Callable[[Any], None]) -> None:
         with self._lock:
@@ -79,6 +80,7 @@ class LocalBus:
 
                 t = threading.Thread(target=worker, daemon=True)
                 t.start()
+                self._workers.append((q, t))
 
                 def enqueue(msg, q=q):
                     try:
@@ -93,6 +95,21 @@ class LocalBus:
     def publish(self, topic: str, message: Any) -> None:
         for cb in list(self._subs.get(topic, ())):
             cb(message)
+
+    def close(self, timeout_s: float = 2.0) -> None:
+        """Stop async worker threads (must not be mid-handler at
+        interpreter teardown: a daemon thread inside a jitted call while
+        the runtime unloads aborts the process)."""
+        with self._lock:
+            workers, self._workers = self._workers, []
+            self._subs.clear()
+        for q, _ in workers:
+            try:
+                q.put(_STOP, timeout=timeout_s)
+            except Exception:  # noqa: BLE001 — full queue + stuck worker
+                pass
+        for _, t in workers:
+            t.join(timeout=timeout_s)
 
 
 _STOP = object()

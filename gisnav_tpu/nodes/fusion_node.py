@@ -15,6 +15,8 @@ from typing import Optional
 
 from gisnav_tpu.constants import ROS_TOPIC_ROBOT_LOCALIZATION_ODOMETRY
 from gisnav_tpu.fusion import PoseFusionFilter
+import numpy as np
+
 from gisnav_tpu.fusion.filter import SensorConfig
 from gisnav_tpu.geometry.se3 import make_transform
 from gisnav_tpu.geometry.quaternion import quat_to_matrix
@@ -73,6 +75,13 @@ class FusionNode(Node):
                                    est["position"]),
                     msg["stamp_us"],
                 )
+            # map -> odom is anchored at MEASUREMENT instants (the
+            # robot_localization world->odom convention): both filters are
+            # freshest here. Computing it on the output timer instead means
+            # extrapolating the global filter across pose dropouts — an
+            # early bad velocity estimate integrated for many seconds put
+            # fixes hundreds of meters off in altitude.
+            self._update_map_to_odom(int(msg["stamp_us"]))
 
     def _twist_pose_cb(self, msg) -> None:
         import time as _time
@@ -102,7 +111,13 @@ class FusionNode(Node):
         if self._last_input is None:
             return None
         stamp0, wall0 = self._last_input
-        stamp = stamp0 + int((_time.monotonic() - wall0) * 1e6)
+        elapsed = _time.monotonic() - wall0
+        if elapsed > float(self.param("output_timeout_s", 10.0)):
+            # all sensors stale (e.g. frames dropped while device programs
+            # compile): stop publishing rather than dead-reckon into
+            # nonsense (robot_localization goes silent on sensor timeout)
+            return None
+        stamp = stamp0 + int(elapsed * 1e6)
         return self.tick(stamp)
 
     def tick(self, stamp_us: int) -> Optional[dict]:
@@ -111,6 +126,13 @@ class FusionNode(Node):
         the fixed-rate timer via :meth:`tick_now`."""
         est = self.local_filter.state_at(stamp_us)
         if est is None:
+            return None
+        if not (np.all(np.isfinite(est["position"]))
+                and np.all(np.isfinite(est["quat_xyzw"]))):
+            # never publish a non-finite state (downstream encoders int()
+            # the fields); the filter re-seeds on the next measurement
+            self.log.warning("non-finite fused state at %d; skipping output",
+                             stamp_us)
             return None
         cov = est["covariance"]
         msg = {
@@ -132,15 +154,38 @@ class FusionNode(Node):
             )
             self.tf.add("gisnav_odom", "gisnav_base_link", h_odom_base,
                         stamp_us)
-            # map -> odom closes the frame chain (robot_localization's
-            # world->odom tf): map<-base composed with base<-odom
-            g = self.global_filter.state_at(stamp_us)
-            if g is not None:
-                from gisnav_tpu.geometry.se3 import invert
-
-                h_map_base = make_transform(
-                    quat_to_matrix(g["quat_xyzw"]), g["position"]
-                )
-                self.tf.add("gisnav_map", "gisnav_odom",
-                            h_map_base @ invert(h_odom_base), stamp_us)
         return msg
+
+    def _update_map_to_odom(self, stamp_us: int) -> None:
+        """Close the frame chain (robot_localization's world->odom tf):
+        map<-base composed with base<-odom, both evaluated at a global
+        MEASUREMENT stamp."""
+        if self.tf is None:
+            return
+        # both chains must be measurement-anchored near the stamp: an
+        # extrapolated state (stale VO during compile stalls / gimbal-gate
+        # dropouts) bakes integrated velocity error into the transform —
+        # observed as fixes hundreds of meters off in altitude
+        lstamp = self.local_filter.latest_stamp_us
+        if lstamp is None or abs(int(lstamp) - stamp_us) > 1_000_000:
+            return
+        g = self.global_filter.state_at(stamp_us)
+        le = self.local_filter.state_at(stamp_us)
+        if g is None or le is None:
+            return
+        if not (np.all(np.isfinite(g["position"]))
+                and np.all(np.isfinite(g["quat_xyzw"]))
+                and np.all(np.isfinite(le["position"]))
+                and np.all(np.isfinite(le["quat_xyzw"]))):
+            self.log.warning(
+                "non-finite filter state at %d; map->odom not updated",
+                stamp_us)
+            return
+        from gisnav_tpu.geometry.se3 import invert
+
+        h_map_base = make_transform(
+            quat_to_matrix(g["quat_xyzw"]), g["position"])
+        h_odom_base = make_transform(
+            quat_to_matrix(le["quat_xyzw"]), le["position"])
+        self.tf.add("gisnav_map", "gisnav_odom",
+                    h_map_base @ invert(h_odom_base), stamp_us)

@@ -106,7 +106,13 @@ class TwistNode(Node):
 
     def _image_cb(self, msg) -> None:
         out = self.step(msg)
-        if out is not None:
+        # pre-bootstrap VO lives in an arbitrary first-camera frame (z=0);
+        # publishing it would seed the fusion filters hundreds of meters
+        # from the map frame and the convergence transient leaks into
+        # map->odom (observed: mock-GPS altitude halfway between odom and
+        # map origins). The reference's twist node similarly boots from
+        # FCU tf before publishing (twist_node.py:417-477).
+        if out is not None and self._initialized:
             self.publish(TOPIC_TWIST_POSE, out)
 
     def step(self, image_msg) -> Optional[dict]:
