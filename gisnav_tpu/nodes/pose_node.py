@@ -91,8 +91,13 @@ class PoseNode(Node):
                     self._deep_runner = make_deep_runner(
                         params=wparams, config=wconfig)
                 else:
+                    # derotate_query: opt-in query-side derotation for
+                    # rotation-sensitive weight sets (converted public
+                    # checkpoints); the bundled rotation-trained sets
+                    # measure better without it
                     self._deep_runner = make_cached_deep_runner(
-                        params=wparams, config=wconfig)
+                        params=wparams, config=wconfig,
+                        derotate=bool(self.param("derotate_query", False)))
                 self._config = wconfig
             except FileNotFoundError as e:
                 self.log.warning(

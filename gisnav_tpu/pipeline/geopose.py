@@ -447,11 +447,24 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
 
     Signature::
 
-        fn(params, query, ref_feats, dem, k, crs_affine, key) -> GeoPose
+        fn(params, query, ref_feats, dem, k, crs_affine, key,
+           rotation_deg=None) -> GeoPose
 
     ``ref_feats`` is the output of :func:`build_reference_extractor` (full
     orthoimage pixel coordinates); ``dem`` is the full DEM raster. The
     returned pose is in the FULL raster frame (``m_crop`` = identity).
+
+    ``rotation_deg`` (optional, traced): the map-alignment rotation the
+    warp-mode pipeline would apply to the REFERENCE (camera heading,
+    cv2-CCW sign — ``PoseNode._rotation_deg``). When given, the QUERY is
+    derotated by the inverse instead: features are extracted on a
+    camera-yaw-aligned query (matching becomes the easy north-up-aligned
+    case the matcher trains on) while PnP runs on the keypoints mapped
+    back to true camera pixels. Query-side derotation costs a (h, w) warp
+    (~6x cheaper than the reference's map-sized warp,
+    ``stereo_node.py:292-335``) and makes cached-mode rotation robustness
+    attitude-driven rather than learned; omit it (None) to skip the warp
+    entirely and rely on rotary-encoding invariance.
     """
     h, w = config.image_shape
     oh, ow = config.ortho_shape
@@ -464,7 +477,7 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
     ds = config.detector_downsample
 
     def fn(params, query, ref_feats, dem, k, crs_affine, key,
-           prior_xy=None, prior_radius=-1.0) -> GeoPose:
+           prior_xy=None, prior_radius=-1.0, rotation_deg=None) -> GeoPose:
         # GSD matching for cached-reference mode happens through
         # ``detector_downsample``: the runner quantizes query_gsd/map_gsd
         # to an integer mean-pool factor (a reshape — effectively free,
@@ -474,11 +487,30 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
         # cliff is at ~1.6x (10/58 correct matches vs 91/128 at 0.9x).
         hq, wq = query.shape
         if ds > 1:
-            pooled = query.reshape(hq // ds, ds, wq // ds, ds).mean((1, 3))
-            f_qry = sp.apply(params["superpoint"], pooled)
-            f_qry = f_qry._replace(keypoints=f_qry.keypoints * ds)
+            src = query.reshape(hq // ds, ds, wq // ds, ds).mean((1, 3))
         else:
-            f_qry = sp.apply(params["superpoint"], query)
+            src = query
+
+        if rotation_deg is not None:
+            # query-side derotation (see builder docstring). Sign: image
+            # content rotates in the OPPOSITE sense to the camera frame, so
+            # the query uses the SAME rotation_deg the warp-mode pipeline
+            # applies to the reference (verified by render alignment,
+            # ncc=1.0 at the correct sign). m_q maps derotated -> camera
+            # pixel coords.
+            derot, m_q = rotate_and_crop_auto(
+                src[..., None], jnp.asarray(rotation_deg, jnp.float32),
+                src.shape,
+            )
+            f_qry = sp.apply(params["superpoint"], derot[..., 0])
+            kp_rot = f_qry.keypoints  # derotated (pooled) frame
+            with jax.default_matmul_precision("float32"):
+                kp_cam = kp_rot @ m_q[:2, :2].T + m_q[:2, 2]
+            kp_match = kp_rot * ds   # matcher sees map-aligned geometry
+            kp_pnp = kp_cam * ds     # PnP sees true camera pixels
+        else:
+            f_qry = sp.apply(params["superpoint"], src)
+            kp_match = kp_pnp = f_qry.keypoints * ds
 
         # position-prior gating: cached map features span an area 5-20x the
         # FOV; restricting the candidate set to the predicted FOV
@@ -499,14 +531,14 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
         match = apply_lightglue(
             lg,
             params["lightglue"],
-            f_qry.keypoints, f_qry.descriptors, f_qry.mask, (h, w),
+            kp_match, f_qry.descriptors, f_qry.mask, (h, w),
             ref_feats.keypoints, ref_feats.descriptors, ref_mask,
             (oh, ow),
         )
         midx = match.matches0
         mvalid = midx >= 0
         ref_idx = jnp.clip(midx, 0)
-        mkp_qry = f_qry.keypoints
+        mkp_qry = kp_pnp
         mkp_ref = ref_feats.keypoints[ref_idx]
         num_matches = jnp.sum(mvalid).astype(jnp.int32)
 

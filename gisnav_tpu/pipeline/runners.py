@@ -187,8 +187,16 @@ def make_semidense_runner(params=None,
 
 
 def make_cached_deep_runner(params=None,
-                            config: Optional[PipelineConfig] = None):
+                            config: Optional[PipelineConfig] = None,
+                            derotate: bool = False):
     """Build the PRODUCTION PoseNode deep runner (cached-reference mode).
+
+    :param derotate: feed the caller's ``rotation_deg`` (camera heading from
+        the gimbal attitude) into query-side derotation — matching runs on a
+        map-aligned query, PnP on true camera pixels. One (h, w) warp per
+        frame. Default OFF: the rotation-trained bundled weights measure
+        BETTER without it (the warp costs FOV corners + interpolation blur);
+        enable for rotation-weak weight sets.
 
     Same call signature as :func:`make_deep_runner`. On the first frame after
     a map refresh (detected via ``map_stamp``, falling back to the ortho
@@ -199,10 +207,7 @@ def make_cached_deep_runner(params=None,
         SuperPoint(query) -> LightGlue(query, cached map feats) ->
         DEM z-lift -> RANSAC-PnP -> geopose
 
-    exactly the program ``bench.py`` measures. ``rotation_deg`` is accepted
-    but unused: LightGlue's rotary position encoding handles map/camera
-    rotation, replacing the reference's 45-degree warp buckets
-    (``stereo_node.py:222-267``).
+    exactly the program ``bench.py`` measures.
     """
     config = config or PRETRAINED_CONFIG
     if params is None:
@@ -294,6 +299,9 @@ def make_cached_deep_runner(params=None,
             jax.random.PRNGKey(state["n"]),
             jnp.asarray(prior_xy),
             jnp.float32(prior_radius),
+            # attitude-driven query derotation (geopose.py builder doc):
+            # traced, so yaw changes never recompile
+            *([jnp.float32(rotation_deg)] if derotate else []),
         )
 
     runner.stats = stats

@@ -161,3 +161,63 @@ class TestDeepPipelineCompiles:
         pose2 = fn(params, ortho[:128, :160], ortho, dem, -30.0,
                    jnp.asarray(K_CAM, jnp.float32), aff, jax.random.PRNGKey(2))
         assert pose2.num_matches.dtype == jnp.int32
+
+
+class TestCachedQueryDerotation:
+    """Query-side derotation in the cached path (opt-in; for
+    rotation-sensitive weight sets, e.g. converted upright-imagery public
+    checkpoints)."""
+
+    def _setup(self):
+        from gisnav_tpu.pipeline import (
+            build_frame_to_geopose_cached,
+            build_reference_extractor,
+        )
+
+        cfg = PipelineConfig(
+            image_shape=(128, 160),
+            ortho_shape=(256, 256),
+            max_keypoints=128,
+            lightglue_depth=2,
+            min_matches=4,
+        )
+        params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(3)
+        query = jnp.asarray(rng.uniform(0, 1, (128, 160)).astype(np.float32))
+        ortho = jnp.asarray(rng.uniform(0, 1, (256, 256)).astype(np.float32))
+        dem = jnp.zeros((256, 256), jnp.float32)
+        aff = jnp.asarray(
+            pixel_to_wgs84_affine(256, 256, LEFT, BOTTOM, RIGHT, TOP),
+            jnp.float32,
+        )
+        ref = jax.jit(build_reference_extractor(cfg))(params, ortho)
+        fn = build_frame_to_geopose_cached(cfg)
+        k = jnp.asarray(K_CAM, jnp.float32)
+        return fn, params, query, ref, dem, k, aff
+
+    def test_zero_rotation_matches_plain_path(self):
+        """rotation_deg=0 must reproduce the non-derotated program exactly
+        (rot90 k=0 + zero shears = identity; no interpolation)."""
+        fn, params, query, ref, dem, k, aff = self._setup()
+        plain = jax.jit(fn)(params, query, ref, dem, k, aff,
+                            jax.random.PRNGKey(1))
+        derot = jax.jit(
+            lambda *a: fn(*a, rotation_deg=jnp.float32(0.0))
+        )(params, query, ref, dem, k, aff, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(
+            np.asarray(plain.matched_qry), np.asarray(derot.matched_qry))
+        assert int(plain.num_matches) == int(derot.num_matches)
+
+    def test_rotated_keypoints_map_back_to_camera_frame(self):
+        """matched_qry must be in TRUE camera pixels: under a 90-degree
+        derotation, the same physical corner detected in the derotated
+        frame must land on its camera-frame position."""
+        fn, params, query, ref, dem, k, aff = self._setup()
+        out = jax.jit(
+            lambda *a: fn(*a, rotation_deg=jnp.float32(90.0))
+        )(params, query, ref, dem, k, aff, jax.random.PRNGKey(1))
+        kp = np.asarray(out.matched_qry)
+        assert np.isfinite(kp).all()
+        # camera-frame coords stay inside the camera image bounds
+        assert (kp[:, 0] >= -0.51).all() and (kp[:, 0] <= 159.51).all()
+        assert (kp[:, 1] >= -0.51).all() and (kp[:, 1] <= 127.51).all()
