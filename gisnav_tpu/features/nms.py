@@ -66,10 +66,7 @@ def select_keypoints(
     if prefer_pallas and jax.default_backend() not in ("cpu",):
         import os
 
-        from gisnav_tpu.features.pallas_nms import (
-            nms_cellmax_pallas,
-            nms_cellmax_supported,
-        )
+        from gisnav_tpu.features.pallas_nms import nms_cellmax_supported
 
         use_pallas = not os.environ.get(
             "GISNAV_TPU_FORCE_XLA_NMS"
@@ -78,21 +75,30 @@ def select_keypoints(
         ) and h % block == 0
 
     if use_pallas:
-        # fused single-pass kernel; the NMS survivor of a cell is also the
-        # cell's raw-heatmap argmax (its 9x9 window covers the 4x4 cell).
-        # Refined positions come from a vectorized all-cells table
-        # (_cell_keypoint_table) — after top-k the only remaining gather is
-        # one contiguous table-row lookup per keypoint
+        # fully fused single-pass kernel: NMS, cell max AND refined per-cell
+        # keypoint positions all come out of one VMEM pass
+        # (pallas_nms.nms_select_pallas) — after top-k the only remaining
+        # work is one contiguous table-row lookup per keypoint. (The
+        # previous split — Pallas cell-max + XLA _cell_keypoint_table —
+        # re-read the heatmap through three layout-hostile cell transposes
+        # and a 9-tap soft-argmax map: 2.9 ms of the 2.9 ms select cost at
+        # 1080p.)
+        from gisnav_tpu.features.pallas_nms import nms_select_pallas
+
         hb, wb = h // block, w // block
         if hpad != h:
             ys_b = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
             src = jnp.where(ys_b < h - border, heatmap, 0.0)
             padded = jnp.zeros((hpad, w), heatmap.dtype).at[:h].set(src)
-            cell_max = nms_cellmax_pallas(padded, border)[:hb]
+            cell_max, cell_x, cell_y = nms_select_pallas(padded, border)
+            cell_max, cell_x, cell_y = (
+                m[:hb] for m in (cell_max, cell_x, cell_y))
         else:
-            cell_max = nms_cellmax_pallas(heatmap, border)  # (hb, wb)
+            cell_max, cell_x, cell_y = nms_select_pallas(heatmap, border)
         scores, cell_idx = _top_k(cell_max.reshape(-1), max_keypoints)
-        keypoints = _cell_keypoint_table(heatmap, heatmap, block)[cell_idx]
+        table = jnp.stack(
+            [cell_x.reshape(-1), cell_y.reshape(-1)], axis=1)
+        keypoints = table[cell_idx]
         valid = scores > score_threshold
         return keypoints, scores, valid
 
