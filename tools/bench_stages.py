@@ -123,6 +123,10 @@ def main():
     if args.what in ("select", "all"):
         bench_select(args, rng)
 
+    if args.what in ("select-detail",):
+        bench_select(args, rng)
+        bench_select_detail(args, rng)
+
 
 def bench_select(args, rng):
     """Keypoint selection (Pallas NMS cell-max + table gather + refine) —
@@ -141,6 +145,58 @@ def bench_select(args, rng):
 
     ms = _timed(sel, heat, reps=args.reps, inner=args.inner)
     print(f"{'select 2048kp (nms+topk+table)':30s} {ms:7.3f} ms")
+
+
+def bench_select_detail(args, rng):
+    """Per-substage breakdown of keypoint selection — attributes the select
+    cost across the Pallas NMS kernel, top-k, and the keypoint table."""
+    import jax
+    import jax.numpy as jnp
+
+    from gisnav_tpu.features import nms as n
+
+    h, w = args.hw
+    heat = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    hpad = ((h + 31) // 32) * 32
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    from gisnav_tpu.features.pallas_nms import nms_cellmax_supported
+
+    if on_tpu and nms_cellmax_supported(hpad, w, 4, 4, 4):
+        from gisnav_tpu.features.pallas_nms import nms_cellmax_pallas
+
+        def cellmax(hm):
+            if hpad != h:
+                ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+                src = jnp.where(ys < h - 4, hm, 0.0)
+                padded = jnp.zeros((hpad, w), hm.dtype).at[:h].set(src)
+                return nms_cellmax_pallas(padded, 4)[: h // 4].sum()
+            return nms_cellmax_pallas(hm, 4).sum()
+
+        ms = _timed(cellmax, heat, reps=args.reps, inner=args.inner)
+        print(f"{'  nms_cellmax_pallas(+pad)':30s} {ms:7.3f} ms")
+
+    cm = jnp.asarray(rng.uniform(0, 1, ((h // 4) * (w // 4),)
+                                 ).astype(np.float32))
+    ms = _timed(lambda v: n._top_k(v, 2048)[0].sum(), cm,
+                reps=args.reps, inner=args.inner)
+    print(f"{'  top_k 2048 of cell maxima':30s} {ms:7.3f} ms")
+
+    ms = _timed(lambda hm: n._cell_keypoint_table(hm, hm, 4).sum(), heat,
+                reps=args.reps, inner=args.inner)
+    print(f"{'  cell_keypoint_table (full)':30s} {ms:7.3f} ms")
+
+    ms = _timed(
+        lambda hm: sum(m.sum() for m in n._softargmax_offset_maps(hm)),
+        heat, reps=args.reps, inner=args.inner)
+    print(f"{'    softargmax offset maps':30s} {ms:7.3f} ms")
+
+    idx = jnp.asarray(rng.integers(0, (h // 4) * (w // 4), 2048))
+    tbl = jnp.asarray(rng.uniform(0, w, ((h // 4) * (w // 4), 2)
+                                  ).astype(np.float32))
+    ms = _timed(lambda t: t[idx].sum(), tbl,
+                reps=args.reps, inner=args.inner)
+    print(f"{'    table row gather (2048)':30s} {ms:7.3f} ms")
 
 
 def bench_lightglue(args, rng):

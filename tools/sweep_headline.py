@@ -27,6 +27,63 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class _MatchedWorld:
+    """Synthetic world rendered at a chosen GSD (meters per world pixel).
+
+    The shared test world (``tests/test_integration.WORLD``) is ~1.36 m/px —
+    the validated 640x480/f=400 camera's ground sampling at 500 m AGL. A
+    1080p/f=1200 query at the same altitude samples at ~0.42 m/px, so
+    rendering it from that world is a ~3.3x blurry upsample: accuracy
+    measured there confounds the matcher with a fixture artifact. This
+    world keeps the same *metric* texture statistics (shape sizes 11-109 m,
+    stroke widths ~2.7-11 m, same density per km^2, same style) but rasters
+    them at the requested GSD so the query is never sampled beyond native
+    resolution.
+    """
+
+    def __init__(self, side_m: float, gsd_m: float, lon0: float,
+                 lat0: float, seed: int = 7):
+        import cv2 as _cv2
+        import numpy as _np
+
+        w_px = int(_np.ceil(side_m / gsd_m / 8)) * 8
+        self.w_px = w_px
+        self.gsd_m = gsd_m
+        rng = _np.random.default_rng(seed)
+        world = _np.full((w_px, w_px), 110, _np.uint8)
+        # reference density: 4000 shapes over (5565 m)^2
+        n = int(round(4000 * (side_m / 5565.0) ** 2))
+        px_per_legacy = 1.358642578125 / gsd_m  # legacy world GSD -> ours
+        for _ in range(n):
+            x, y = (int(v) for v in rng.integers(0, w_px, 2))
+            kind = int(rng.integers(0, 3))
+            v = int(rng.integers(0, 256))
+            s = int(rng.integers(8, 80) * px_per_legacy)
+            if kind == 0:
+                _cv2.rectangle(
+                    world, (x, y),
+                    (x + s, y + int(s * rng.uniform(0.3, 1.5))), v, -1)
+            elif kind == 1:
+                _cv2.circle(world, (x, y), s // 2, v, -1)
+            else:
+                x2 = x + int(s * rng.uniform(-2, 2))
+                y2 = y + int(s * rng.uniform(-2, 2))
+                _cv2.line(world, (x, y), (x2, y2), v,
+                          max(2, int(rng.integers(2, 8) * px_per_legacy)))
+        self.world = _cv2.GaussianBlur(world, (3, 3), 0.8)
+        # georeference: centered on (lon0, lat0)
+        m_per_deg_lat = 111320.0
+        m_per_deg_lon = m_per_deg_lat * _np.cos(_np.radians(lat0))
+        self.gsd_lon = gsd_m / m_per_deg_lon
+        self.gsd_lat = gsd_m / m_per_deg_lat
+        self.left = lon0 - w_px / 2 * self.gsd_lon
+        self.top = lat0 + w_px / 2 * self.gsd_lat
+
+    def lonlat_to_wpx(self, lon, lat):
+        return ((lon - self.left) / self.gsd_lon,
+                (self.top - lat) / self.gsd_lat)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--alts", type=float, nargs="+", default=[150, 300, 500])
@@ -36,6 +93,11 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(1088, 1920))
     ap.add_argument("--kp", type=int, default=2048)
     ap.add_argument("--depth", type=int, default=9)
+    ap.add_argument("--world-gsd", default=None,
+                    help="render from a world rastered at this GSD "
+                         "(m/px); 'auto' matches the query GSD at the "
+                         "lowest altitude; default: the legacy shared "
+                         "~1.36 m/px test world")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -54,21 +116,42 @@ def main():
         [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]], np.float32
     )
 
+    # fly near the middle of the world
+    lat0, lon0 = 60.025, 24.04
+
+    if args.world_gsd is None:
+        world_img = ti.WORLD
+        world_gsd_m = ti.M_PER_WPX
+        lonlat_to_wpx = ti._lonlat_to_wpx
+        gsd_lon, gsd_lat = ti.GSD_LON, ti.GSD_LAT
+        world_left, world_top = ti.LEFT, ti.TOP
+    else:
+        gsd = (min(args.alts) / f if args.world_gsd == "auto"
+               else float(args.world_gsd))
+        # cover the largest map request (3x FOV side) plus flight offsets
+        side_m = 3.0 * max(args.alts) * max(h, w) / f * 1.1 + 200.0
+        mw = _MatchedWorld(side_m, gsd, lon0, lat0)
+        world_img = mw.world
+        world_gsd_m = mw.gsd_m
+        lonlat_to_wpx = mw.lonlat_to_wpx
+        gsd_lon, gsd_lat = mw.gsd_lon, mw.gsd_lat
+        world_left, world_top = mw.left, mw.top
+        print(f"matched world: {mw.w_px}x{mw.w_px} px at "
+              f"{world_gsd_m:.3f} m/px", flush=True)
+
     def render_frame(lon, lat, alt_m, yaw_deg):
-        """1080p nadir render from the synthetic world (ti._render_frame
+        """Nadir render from the synthetic world (ti._render_frame
         generalized to this camera)."""
-        cx, cy = ti._lonlat_to_wpx(lon, lat)
-        alt_wpx = alt_m / ti.M_PER_WPX
+        cx, cy = lonlat_to_wpx(lon, lat)
+        alt_wpx = alt_m / world_gsd_m
         a = np.radians(yaw_deg)
         c, s = np.cos(a), np.sin(a)
         r = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1.0]])
         cam = np.array([cx, cy, -alt_wpx])
         t = -r @ cam
         hm = k_cam @ np.stack([r[:, 0], r[:, 1], t], axis=1)
-        return cv2.warpPerspective(ti.WORLD, hm, (w, h))
+        return cv2.warpPerspective(world_img, hm, (w, h))
 
-    # fly near the middle of the world
-    lat0, lon0 = 60.025, 24.04
     diag_px = float(np.hypot(h, w))
     map_px = int(np.ceil(diag_px / 8)) * 8  # camera-diagonal map sizing
 
@@ -82,18 +165,20 @@ def main():
         # squared-FOV side = alt * max(w, h) / f; square_and_pad pads by
         # one side length on each side -> 3x ground coverage
         side_m = 3.0 * alt * max(h, w) / float(k_cam[0, 0])
-        side_wpx = int(round(side_m / ti.M_PER_WPX))
-        cx, cy = ti._lonlat_to_wpx(lon0, lat0)
+        side_wpx = int(round(side_m / world_gsd_m))
+        cx, cy = lonlat_to_wpx(lon0, lat0)
         x0 = int(cx - side_wpx / 2)
         y0 = int(cy - side_wpx / 2)
-        crop = ti.WORLD[y0:y0 + side_wpx, x0:x0 + side_wpx]
+        crop = world_img[y0:y0 + side_wpx, x0:x0 + side_wpx]
+        assert crop.shape == (side_wpx, side_wpx), \
+            (crop.shape, side_wpx, "map request exceeds world bounds")
         ortho = cv2.resize(crop, (map_px, map_px),
                            interpolation=cv2.INTER_AREA
                            if side_wpx > map_px else cv2.INTER_LINEAR)
-        left = ti.LEFT + x0 * ti.GSD_LON
-        top = ti.TOP - y0 * ti.GSD_LAT
-        right = left + side_wpx * ti.GSD_LON
-        bottom = top - side_wpx * ti.GSD_LAT
+        left = world_left + x0 * gsd_lon
+        top = world_top - y0 * gsd_lat
+        right = left + side_wpx * gsd_lon
+        bottom = top - side_wpx * gsd_lat
         aff = pixel_to_wgs84_affine(map_px, map_px, left, bottom, right, top)
         dem = np.zeros((map_px, map_px), np.float32)
         return ortho, dem, aff
@@ -141,6 +226,7 @@ def main():
     horiz = [r["horiz_m"] for r in rows if r["valid"]]
     summary = {
         "config": f"{h}x{w}_{args.kp}kp_lg{args.depth}_{args.weights}_cached",
+        "world_gsd_m": round(float(world_gsd_m), 3),
         "poses": len(rows),
         "valid": sum(r["valid"] for r in rows),
         "pass_10m": len(ok),
