@@ -70,6 +70,33 @@ class _MatchedWorld:
                 y2 = y + int(s * rng.uniform(-2, 2))
                 _cv2.line(world, (x, y), (x2, y2), v,
                           max(2, int(rng.integers(2, 8) * px_per_legacy)))
+        # 1/f fractal micro-texture under/over the shapes: the shape layer
+        # has a fixed METRIC density (1 shape per ~7700 m^2), so a small
+        # low-altitude map crop contains only dozens of features and
+        # matching starves — an artifact real orthoimagery doesn't have
+        # (natural images carry a 1/f amplitude spectrum with texture at
+        # every scale, the same model as tests/test_world_fractal.py).
+        # Octave falloff 0.85 (flatter than the 1/f-ideal 0.5): across the
+        # ~13 octaves of a city-scale world a steeper slope leaves <1 gray
+        # level of contrast in the finest octaves (measured: high-pass std
+        # 0.29 at 0.55 vs 5.2 at 0.85 in a 150 m-AGL FOV window), i.e. no
+        # matchable detail at low altitude — unlike real orthoimagery whose
+        # material texture (grass/asphalt/canopy) keeps local contrast at
+        # every GSD.
+        octaves = max(2, int(_np.ceil(_np.log2(w_px / 4))))
+        acc = _np.zeros((w_px, w_px), _np.float32)
+        amp = 1.0
+        for o in range(octaves):
+            n = max(2, min(w_px, 4 << o))
+            grid = rng.standard_normal((n, n)).astype(_np.float32)
+            acc += amp * _cv2.resize(grid, (w_px, w_px),
+                                     interpolation=_cv2.INTER_CUBIC)
+            amp *= 0.85
+            del grid
+        acc *= 20.0 / max(float(acc.std()), 1e-6)
+        world = _np.clip(world.astype(_np.float32) + acc, 0, 255)
+        del acc
+        world = world.astype(_np.uint8)
         self.world = _cv2.GaussianBlur(world, (3, 3), 0.8)
         # georeference: centered on (lon0, lat0)
         m_per_deg_lat = 111320.0
@@ -98,6 +125,9 @@ def main():
                          "(m/px); 'auto' matches the query GSD at the "
                          "lowest altitude; default: the legacy shared "
                          "~1.36 m/px test world")
+    ap.add_argument("--derotate", action="store_true",
+                    help="query-side derotation from the known yaw "
+                         "(pipeline/runners.py make_cached_deep_runner)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -190,7 +220,7 @@ def main():
         max_keypoints=args.kp,
         lightglue_depth=args.depth,
     )
-    runner = make_cached_deep_runner(params, cfg)
+    runner = make_cached_deep_runner(params, cfg, derotate=args.derotate)
 
     rows = []
     for ai, alt in enumerate(args.alts):
@@ -199,9 +229,12 @@ def main():
             lon = lon0 + 0.0004 * np.cos(np.radians(yaw))
             lat = lat0 + 0.0002 * np.sin(np.radians(yaw))
             frame = render_frame(lon, lat, alt, yaw)
+            # derotation sign: empirically +yaw aligns the rendered query
+            # with map north (the -yaw sign doubles the misalignment:
+            # yaw=180 behaves like 0, yaw=45 like 90 — measured on TPU).
             pose = runner(
-                frame, ortho, dem, 0.0, k_cam, aff,
-                map_stamp=ai + 1, altitude_agl=alt,
+                frame, ortho, dem, yaw if args.derotate else 0.0,
+                k_cam, aff, map_stamp=ai + 1, altitude_agl=alt,
             )
             # f64 host assembly (device lla is f32, ~0.2 m quantized)
             out64 = geopose_to_wgs84_f64(pose, np.asarray(aff, np.float64))
