@@ -95,8 +95,11 @@ def _cmd_run(args) -> int:
 
     app, adapter = build_app(args)
     app.spin(gis_rate_hz=args.gis_rate)
+    adapter_thread = None
     if adapter is not None:
-        threading.Thread(target=adapter.spin, daemon=True).start()
+        adapter_thread = threading.Thread(
+            target=adapter.spin, name="ros-adapter-spin", daemon=True)
+        adapter_thread.start()
     print(f"gisnav_tpu running (backend={args.backend}, "
           f"protocol={args.protocol}, "
           f"transport={'shm' if args.shm else 'local'}, "
@@ -108,6 +111,10 @@ def _cmd_run(args) -> int:
         bridge = getattr(app, "serial_bridge", None)
         if bridge is not None:
             bridge.close()
+        if adapter is not None:
+            adapter.close()
+            if adapter_thread is not None:
+                adapter_thread.join(timeout=3.0)
         stats = app.shutdown()
         print(json.dumps(stats, indent=2, default=str))
     return 0

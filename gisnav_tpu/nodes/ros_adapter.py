@@ -236,9 +236,45 @@ class RosAdapter:
                 )
 
     def spin(self) -> None:
+        """Blocking spin; ``close()`` (from any thread) wakes and stops it.
+
+        Uses an owned ``SingleThreadedExecutor`` rather than module-level
+        ``rclpy.spin`` so shutdown is cooperative: ``executor.shutdown()``
+        interrupts a concurrent ``spin()``, letting the CLI join the spin
+        thread and destroy the node instead of leaking a live executor on
+        Ctrl-C.
+        """
         import rclpy
 
-        rclpy.spin(self.node)
+        try:
+            from rclpy.executors import SingleThreadedExecutor
+        except ImportError:  # pragma: no cover - stub ROS stacks
+            rclpy.spin(self.node)
+            return
+        executor = SingleThreadedExecutor()
+        executor.add_node(self.node)
+        self._executor = executor
+        try:
+            executor.spin()
+        finally:
+            executor.remove_node(self.node)
+
+    def close(self) -> None:
+        """Stop a concurrent :meth:`spin` and destroy the rclpy node.
+
+        Idempotent and thread-safe; callers should join the spin thread
+        afterwards (see ``cli._cmd_run``).
+        """
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
+        executor = getattr(self, "_executor", None)
+        if executor is not None:
+            self._executor = None
+            executor.shutdown(timeout_sec=2.0)
+        destroy = getattr(self.node, "destroy_node", None)
+        if destroy is not None:
+            destroy()
 
 
 def maybe_attach(bus, protocols=("uorb",)) -> Optional["RosAdapter"]:

@@ -161,6 +161,32 @@ class FakeRclpyNode:
     def get_logger(self):
         return self._logger
 
+    def destroy_node(self):
+        self.destroyed = True
+
+
+class FakeExecutor:
+    """Stub SingleThreadedExecutor: spin() blocks until shutdown()."""
+
+    def __init__(self):
+        import threading
+
+        self._stop = threading.Event()
+        self.nodes = []
+
+    def add_node(self, node):
+        self.nodes.append(node)
+
+    def remove_node(self, node):
+        self.nodes.remove(node)
+
+    def spin(self):
+        self._stop.wait()
+
+    def shutdown(self, timeout_sec=None):
+        self._stop.set()
+        return True
+
 
 class _PT:
     PARAMETER_BOOL = 1
@@ -198,9 +224,12 @@ def fake_ros(monkeypatch):
     rclpy = _mod("rclpy", ok=lambda: True, init=lambda: None,
                  spin=lambda node: None)
     rclpy.node = _mod("rclpy.node", Node=FakeRclpyNode)
+    rclpy.executors = _mod("rclpy.executors",
+                           SingleThreadedExecutor=FakeExecutor)
     mods = {
         "rclpy": rclpy,
         "rclpy.node": rclpy.node,
+        "rclpy.executors": rclpy.executors,
         "sensor_msgs": _mod("sensor_msgs"),
         "sensor_msgs.msg": _mod(
             "sensor_msgs.msg", Image=FakeImage, CameraInfo=FakeCameraInfo,
@@ -402,3 +431,31 @@ class TestConfigureMavros:
         assert gc.requests == []  # skipped, not crashed
         assert any("gimbal_control" in w
                    for w in adapter.node.get_logger().warnings)
+
+
+# ---------------------------------------------------------------------------
+# Shutdown hygiene (round-3 verdict: Ctrl-C must not leak a live executor)
+# ---------------------------------------------------------------------------
+
+class TestShutdown:
+    def test_close_wakes_spin_and_destroys_node(self, fake_ros):
+        import threading
+        import time
+
+        adapter, _ = _adapter()
+        t = threading.Thread(target=adapter.spin, daemon=True)
+        t.start()
+        deadline = time.monotonic() + 2.0
+        while getattr(adapter, "_executor", None) is None:
+            assert time.monotonic() < deadline, "spin never started"
+            time.sleep(0.01)
+        adapter.close()
+        t.join(timeout=2.0)
+        assert not t.is_alive(), "close() did not interrupt spin()"
+        assert getattr(adapter.node, "destroyed", False)
+
+    def test_close_is_idempotent(self, fake_ros):
+        adapter, _ = _adapter()
+        adapter.close()
+        adapter.close()  # second call must be a no-op, not a crash
+        assert getattr(adapter.node, "destroyed", False)
