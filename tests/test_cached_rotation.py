@@ -11,8 +11,6 @@ synthetic world cannot render a sharp sub-meter-GSD query (an artifact of
 the fixture, not the model — real cameras see real texture at native
 resolution).
 """
-import dataclasses
-
 import cv2
 import numpy as np
 import pytest

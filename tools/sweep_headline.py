@@ -128,6 +128,21 @@ def main():
     ap.add_argument("--derotate", action="store_true",
                     help="query-side derotation from the known yaw "
                          "(pipeline/runners.py make_cached_deep_runner)")
+    ap.add_argument("--mode", choices=("cached", "warp"), default="cached",
+                    help="cached = production HBM-resident map features; "
+                         "warp = StereoNode-parity rotate+crop+re-extract "
+                         "per frame (make_deep_runner)")
+    ap.add_argument("--prior-m", type=float, default=None,
+                    help="cached mode: pass a position prior offset this "
+                         "many meters from truth (emulates the EKF fix "
+                         "the production pose node feeds back; enables "
+                         "the FOV-radius candidate gate)")
+    ap.add_argument("--threshold-px", type=float, default=None,
+                    help="RANSAC inlier threshold override (query px)")
+    ap.add_argument("--hypotheses", type=int, default=None,
+                    help="RANSAC hypothesis batch override")
+    ap.add_argument("--refine-iters", type=int, default=None,
+                    help="Gauss-Newton refine iteration override")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -137,7 +152,11 @@ def main():
     import tests.test_integration as ti
     from gisnav_tpu.geometry.crs import haversine_m, pixel_to_wgs84_affine
     from gisnav_tpu.pipeline.geopose import geopose_to_wgs84_f64
-    from gisnav_tpu.pipeline.runners import load_bundled, make_cached_deep_runner
+    from gisnav_tpu.pipeline.runners import (
+        load_bundled,
+        make_cached_deep_runner,
+        make_deep_runner,
+    )
 
     h, w = args.hw
     # same FOV angle as the validated e2e suite (f=400 at 640 wide)
@@ -148,6 +167,8 @@ def main():
 
     # fly near the middle of the world
     lat0, lon0 = 60.025, 24.04
+    m_per_deg_lat = 111320.0
+    m_per_deg_lon = m_per_deg_lat * np.cos(np.radians(lat0))
 
     if args.world_gsd is None:
         world_img = ti.WORLD
@@ -214,13 +235,23 @@ def main():
         return ortho, dem, aff
 
     params, base_cfg = load_bundled(args.weights)
-    cfg = dataclasses.replace(
-        base_cfg,
+    overrides = dict(
         image_shape=(h, w),
         max_keypoints=args.kp,
         lightglue_depth=args.depth,
     )
-    runner = make_cached_deep_runner(params, cfg, derotate=args.derotate)
+    if args.threshold_px is not None:
+        overrides["threshold_px"] = args.threshold_px
+    if args.hypotheses is not None:
+        overrides["num_hypotheses"] = args.hypotheses
+    if args.refine_iters is not None:
+        overrides["refine_iters"] = args.refine_iters
+    cfg = dataclasses.replace(base_cfg, **overrides)
+    if args.mode == "warp":
+        runner = make_deep_runner(params, cfg)
+    else:
+        runner = make_cached_deep_runner(params, cfg,
+                                         derotate=args.derotate)
 
     rows = []
     for ai, alt in enumerate(args.alts):
@@ -229,12 +260,29 @@ def main():
             lon = lon0 + 0.0004 * np.cos(np.radians(yaw))
             lat = lat0 + 0.0002 * np.sin(np.radians(yaw))
             frame = render_frame(lon, lat, alt, yaw)
-            # derotation sign: empirically +yaw aligns the rendered query
-            # with map north (the -yaw sign doubles the misalignment:
-            # yaw=180 behaves like 0, yaw=45 like 90 — measured on TPU).
+            # derotation sign: the production value is -heading
+            # (nodes/pose_node.py _rotation_deg); rotating the rendered
+            # query by -yaw aligns it with map north (render-alignment
+            # ncc=1.0 at all yaws; the +yaw sign DOUBLES the content
+            # misalignment — the round-3 comment claiming otherwise was
+            # measured through the sign bug it introduced).
+            kw = {}
+            if args.mode == "cached" and args.prior_m is not None:
+                # prior = truth displaced by --prior-m meters (bearing
+                # varied per pose): emulates feeding back the previous
+                # EKF fix like nodes/pose_node.py does via prior_lonlat
+                brg = np.radians(yaw + 77.0)
+                kw["prior_lonlat"] = (
+                    lon + args.prior_m * np.sin(brg) / m_per_deg_lon,
+                    lat + args.prior_m * np.cos(brg) / m_per_deg_lat,
+                )
+            # derotation sign: the production value is -heading
+            # (nodes/pose_node.py _rotation_deg); the warp-mode reference
+            # rotation uses the same convention
+            rot = -yaw if (args.derotate or args.mode == "warp") else 0.0
             pose = runner(
-                frame, ortho, dem, yaw if args.derotate else 0.0,
-                k_cam, aff, map_stamp=ai + 1, altitude_agl=alt,
+                frame, ortho, dem, rot,
+                k_cam, aff, map_stamp=ai + 1, altitude_agl=alt, **kw,
             )
             # f64 host assembly (device lla is f32, ~0.2 m quantized)
             out64 = geopose_to_wgs84_f64(pose, np.asarray(aff, np.float64))
@@ -257,8 +305,11 @@ def main():
     ok = [r for r in rows if r["valid"] and r["horiz_m"] < 10.0
           and r["vert_m"] < 10.0]
     horiz = [r["horiz_m"] for r in rows if r["valid"]]
+    mode_tag = args.mode + ("_derot" if args.derotate else "") + (
+        f"_prior{args.prior_m:g}m" if args.prior_m is not None else "")
     summary = {
-        "config": f"{h}x{w}_{args.kp}kp_lg{args.depth}_{args.weights}_cached",
+        "config": f"{h}x{w}_{args.kp}kp_lg{args.depth}_{args.weights}"
+                  f"_{mode_tag}",
         "world_gsd_m": round(float(world_gsd_m), 3),
         "poses": len(rows),
         "valid": sum(r["valid"] for r in rows),
