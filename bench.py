@@ -43,6 +43,71 @@ def _devices_reachable(timeout_s: float = 600.0) -> bool:
         return False
 
 
+def _render_fixture(seed, h, w, ortho_hw, focal_px, alt_m=500.0, n_ring=4):
+    """Rendered-world frame ring + matching ortho for realistic content.
+
+    Round-3 verdict: noise frames keep the timed program shape-static but
+    drive ``num_matches``/RANSAC through degenerate all-reject paths. This
+    renders the ring from a synthetic shape+1/f-texture world (the same
+    model as ``tests/test_integration.py``) at the map's ground sampling,
+    with the ortho a crop of the SAME world — so matching, inlier counting
+    and pose refinement run at production occupancy while the program (and
+    therefore the timing methodology) is unchanged.
+
+    Returns ``(ring[n_ring,h,w] f32 0..1, ortho[ortho_hw^2] f32, truths)``.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    side_m = 3.0 * alt_m * max(h, w) / focal_px  # production 3x FOV map
+    gsd = side_m / ortho_hw
+    w_px = ortho_hw * 2  # world = 2x map extent so offset flights fit
+    world = np.full((w_px, w_px), 110, np.uint8)
+    n_shapes = int(4000 * (w_px * gsd / 5565.0) ** 2)
+    for _ in range(n_shapes):
+        x, y = (int(v) for v in rng.integers(0, w_px, 2))
+        kind = int(rng.integers(0, 3))
+        v = int(rng.integers(0, 256))
+        s = int(rng.integers(8, 80) * 1.36 / gsd)
+        if kind == 0:
+            cv2.rectangle(world, (x, y),
+                          (x + s, y + int(s * rng.uniform(0.3, 1.5))), v, -1)
+        elif kind == 1:
+            cv2.circle(world, (x, y), max(s // 2, 1), v, -1)
+        else:
+            cv2.line(world, (x, y),
+                     (x + int(s * rng.uniform(-2, 2)),
+                      y + int(s * rng.uniform(-2, 2))), v,
+                     max(2, int(3 * 1.36 / gsd)))
+    acc = np.zeros((w_px, w_px), np.float32)
+    amp = 1.0
+    for o in range(int(np.ceil(np.log2(w_px / 4)))):
+        n = max(2, min(w_px, 4 << o))
+        acc += amp * cv2.resize(
+            rng.standard_normal((n, n)).astype(np.float32), (w_px, w_px),
+            interpolation=cv2.INTER_CUBIC)
+        amp *= 0.85
+    acc *= 20.0 / max(float(acc.std()), 1e-6)
+    world = np.clip(world.astype(np.float32) + acc, 0, 255).astype(np.uint8)
+
+    x0 = (w_px - ortho_hw) // 2
+    ortho = world[x0:x0 + ortho_hw, x0:x0 + ortho_hw]
+    k = np.array([[focal_px, 0, w / 2], [0, focal_px, h / 2], [0, 0, 1.0]])
+    ring = []
+    alt_wpx = alt_m / gsd
+    for i in range(n_ring):
+        yaw = np.radians(i * 360.0 / n_ring)
+        cx = w_px / 2 + 30.0 / gsd * np.cos(yaw)
+        cy = w_px / 2 + 30.0 / gsd * np.sin(yaw)
+        c, s = np.cos(yaw), np.sin(yaw)
+        r = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1.0]])
+        t = -r @ np.array([cx, cy, -alt_wpx])
+        hm = k @ np.stack([r[:, 0], r[:, 1], t], axis=1)
+        ring.append(cv2.warpPerspective(world, hm, (w, h)))
+    return np.stack(ring).astype(np.float32) / 255.0, \
+        ortho.astype(np.float32) / 255.0
+
+
 def main():
     if not _devices_reachable():
         print(json.dumps({
@@ -109,16 +174,18 @@ def main():
     extract_ref_fn = build_reference_extractor(config)
     extract_ref = jax.jit(extract_ref_fn)
 
-    rng = np.random.default_rng(0)
-    # a small ring of distinct device-resident frames, cycled by the scan
+    # a small ring of distinct device-resident rendered frames, cycled by
+    # the scan; rendered-world content (not noise) so match/RANSAC stages
+    # run at production occupancy in the timed program
     n_ring = 4
-    ring = jnp.asarray(rng.uniform(0, 1, (n_ring, h, w)).astype(np.float32))
-    ortho = jnp.asarray(
-        rng.uniform(0, 1, (ortho_hw, ortho_hw)).astype(np.float32)
-    )
+    focal = 1000.0
+    ring_np, ortho_np = _render_fixture(
+        0, h, w, ortho_hw, focal, n_ring=n_ring)
+    ring = jnp.asarray(ring_np)
+    ortho = jnp.asarray(ortho_np)
     dem = jnp.zeros((ortho_hw, ortho_hw), jnp.float32)
     k = jnp.asarray(
-        np.array([[1000.0, 0, w / 2], [0, 1000.0, h / 2], [0, 0, 1]]),
+        np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]),
         jnp.float32,
     )
     aff = jnp.asarray(
@@ -132,16 +199,15 @@ def main():
                 params, ring[i % n_ring], ref_feats, dem, k, aff,
                 jax.random.fold_in(key, i),
             )
-            acc = (
-                carry
-                + jnp.sum(jnp.nan_to_num(pose.ecef_position))
-                + pose.num_inliers.astype(jnp.float32)
-            )
-            return acc, None
+            acc, inl = carry
+            acc = acc + jnp.sum(jnp.nan_to_num(pose.ecef_position))
+            inl = inl + pose.num_inliers.astype(jnp.float32)
+            return (acc, inl), None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
-                              jnp.arange(frames, dtype=jnp.int32))
-        return acc
+        (acc, inl), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            jnp.arange(frames, dtype=jnp.int32))
+        return acc, inl
 
     run = jax.jit(scan_frames)
 
@@ -169,7 +235,7 @@ def main():
 
     ref_feats = extract_ref(params, ortho)
     # compile + warmup (forces all transfers to settle)
-    _ = np.asarray(
+    _ = jax.block_until_ready(
         run(params, ring, ref_feats, dem, k, aff, jax.random.PRNGKey(1))
     )
     _ = np.asarray(refresh_run(params, ortho, jax.random.PRNGKey(1)))
@@ -177,11 +243,12 @@ def main():
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
-        acc = np.asarray(
-            run(params, ring, ref_feats, dem, k, aff, jax.random.PRNGKey(2 + r))
-        )
+        acc, inl = (np.asarray(x) for x in
+                    run(params, ring, ref_feats, dem, k, aff,
+                        jax.random.PRNGKey(2 + r)))
         times.append(time.perf_counter() - t0)
     assert np.isfinite(acc)
+    inliers_per_frame = float(inl) / frames
     per_frame = (float(np.median(times)) - rtt) / frames
 
     t0 = time.perf_counter()
@@ -208,10 +275,10 @@ def main():
             v_frame_fn = build_frame_to_geopose_cached(v_cfg)
             v_extract_fn = build_reference_extractor(v_cfg)
             vh, vw = v_cfg.image_shape
-            v_ring = jnp.asarray(
-                rng.uniform(0, 1, (n_ring, vh, vw)).astype(np.float32))
-            v_ortho = jnp.asarray(
-                rng.uniform(0, 1, (1024, 1024)).astype(np.float32))
+            v_ring_np, v_ortho_np = _render_fixture(
+                1, vh, vw, 1024, 400.0, n_ring=n_ring)
+            v_ring = jnp.asarray(v_ring_np)
+            v_ortho = jnp.asarray(v_ortho_np)
             v_dem = jnp.zeros((1024, 1024), jnp.float32)
             v_k = jnp.asarray(np.array(
                 [[400.0, 0, vw / 2], [0, 400.0, vh / 2], [0, 0, 1]]),
@@ -262,6 +329,8 @@ def main():
         "p50_latency_ms": round(per_frame * 1e3, 2),
         "map_refresh_ms": round(refresh_s * 1e3, 2),
         "frames_per_measurement": frames,
+        "frame_content": "rendered_world",
+        "inliers_per_frame": round(inliers_per_frame, 1),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
