@@ -82,10 +82,14 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
         runner(query_u8, ortho_image_u8, dem_f32, rotation_deg, k, crs_affine,
                map_stamp=None) -> GeoPose
 
-    Per frame this re-uploads the full ortho stack and runs the extractor on
-    BOTH images — use :func:`make_cached_deep_runner` in production. The
-    jitted program is cached per orthoimage shape (the query shape is fixed
-    by the config).
+    Per frame this runs the extractor on BOTH the query and the warped map
+    crop (rotation-exact StereoNode semantics) — heavier than
+    :func:`make_cached_deep_runner`, but the strongest-accuracy mode for
+    rotation-sensitive weight sets. The ortho/DEM stack is kept
+    device-resident keyed on ``map_stamp`` (uploaded once per map refresh,
+    like cached mode), so the per-frame host traffic is just the query
+    frame. The jitted program is cached per orthoimage shape (the query
+    shape is fixed by the config).
     """
     config = config or PRETRAINED_CONFIG
     if params is None:
@@ -100,6 +104,7 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
     fn = build_frame_to_geopose(config)
     cache: Dict[Tuple[int, int], object] = {}
     counter = {"n": 0}
+    state = {"map_key": None, "ortho": None, "dem": None}
 
     def runner(query: np.ndarray, ortho: np.ndarray, dem: np.ndarray,
                rotation_deg: float, k: np.ndarray,
@@ -108,6 +113,13 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
         shape = ortho.shape[:2]
         if shape not in cache:
             cache[shape] = jax.jit(fn)
+        map_key = (shape,
+                   int(map_stamp) if map_stamp is not None else id(ortho))
+        if state["map_key"] != map_key:
+            state["ortho"] = jax.device_put(
+                jnp.asarray(ortho, jnp.float32) / 255.0)
+            state["dem"] = jax.device_put(jnp.asarray(dem, jnp.float32))
+            state["map_key"] = map_key
         counter["n"] += 1
         # GSD-matched crop: resample the rotated map crop to the camera's
         # ground sample distance (zoom = query_gsd / map_gsd); 1.0 when
@@ -120,8 +132,8 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
         return cache[shape](
             params,
             jnp.asarray(query, jnp.float32) / 255.0,
-            jnp.asarray(ortho, jnp.float32) / 255.0,
-            jnp.asarray(dem, jnp.float32),
+            state["ortho"],
+            state["dem"],
             jnp.float32(rotation_deg),
             jnp.asarray(k, jnp.float32),
             jnp.asarray(crs_affine, jnp.float32),
