@@ -93,16 +93,56 @@ def _gaussian_blur(img: jnp.ndarray, sigma, radius: int = 3) -> jnp.ndarray:
     return x[0, :, :, 0]
 
 
+def _cast_shadows(key, img: jnp.ndarray, n: int = 6,
+                  max_strength: float = 0.45) -> jnp.ndarray:
+    """Multiplicative soft dark quads: cast shadows / novel occluders.
+
+    Real query/map pairs differ by sun angle — structures cast dark quads
+    that exist in only ONE view. A matcher that anchors on shadow
+    boundaries collapses on real imagery (measured with the unaugmented
+    harris_lg5 bundle: 25 phantom quads drop a 40-inlier fix to 4 inliers,
+    ``tests/test_world_appearance.py`` sun_shadows scenario). Applied to
+    the query view only, so shadow edges are unmatched by construction.
+    ``n`` is static; each quad is a product of four sigmoids (soft ~1.5 px
+    penumbra), all fully traced.
+    """
+    h, w = img.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def one(k, im):
+        kx, ky, kw, kh2, ks_ = jax.random.split(k, 5)
+        x0 = jax.random.uniform(kx, (), minval=0.0, maxval=float(w))
+        y0 = jax.random.uniform(ky, (), minval=0.0, maxval=float(h))
+        bw = jax.random.uniform(kw, (), minval=0.04, maxval=0.14) * w
+        bh = jax.random.uniform(kh2, (), minval=0.04, maxval=0.14) * h
+        # max_strength may be traced (curriculum ramp)
+        s = max_strength * jax.random.uniform(ks_, (), minval=0.25,
+                                              maxval=1.0)
+        soft = 1.5
+        mx = (jax.nn.sigmoid((xs - x0) / soft)
+              * jax.nn.sigmoid((x0 + bw - xs) / soft))
+        my = (jax.nn.sigmoid((ys - y0) / soft)
+              * jax.nn.sigmoid((y0 + bh - ys) / soft))
+        return im * (1.0 - s * mx * my)
+
+    keys = jax.random.split(key, n)
+    for i in range(n):
+        img = one(keys[i], img)
+    return img
+
+
 def device_batch(key, batch: int, shape: Tuple[int, int],
                  max_angle_deg: float = 180.0, max_scale: float = 1.6,
-                 max_shift: float = 0.12, max_blur_sigma: float = 1.6):
+                 max_shift: float = 0.12, max_blur_sigma: float = 1.6,
+                 shadow_quads: int = 6, shadow_strength=0.45):
     """(image0, image1, transform) batch generated on device.
 
     ``transform`` maps image0 pixels to image1 pixels (last row [0, 0, 1]),
     directly usable as the training ground truth "homography".
     """
     def one(k):
-        k_tex, k_aff, k_pho, k_blur = jax.random.split(k, 4)
+        k_tex, k_aff, k_pho, k_blur, k_sh = jax.random.split(k, 5)
         img0 = _texture(k_tex, shape)
         a = _random_affine(k_aff, shape, max_angle_deg, max_scale, max_shift)
         img1 = warp_affine(img0[..., None], jnp.linalg.inv(a), shape)[..., 0]
@@ -120,6 +160,9 @@ def device_batch(key, batch: int, shape: Tuple[int, int],
         bias = jax.random.uniform(kb, (), minval=-0.15, maxval=0.15)
         noise = 0.02 * jax.random.normal(kn, shape)
         img1 = jnp.clip(img1 * gain + bias + noise, 0.0, 1.0)
+        if shadow_quads:
+            img1 = _cast_shadows(k_sh, img1, n=shadow_quads,
+                                 max_strength=shadow_strength)
         return img0, img1, a
 
     keys = jax.random.split(key, batch)
@@ -131,7 +174,8 @@ def device_batch_asymmetric(key, batch: int,
                             r_shape: Tuple[int, int] = (576, 640),
                             max_angle_deg: float = 180.0,
                             scale_lo: float = 0.6, scale_hi: float = 1.4,
-                            max_blur_sigma: float = 1.2):
+                            max_blur_sigma: float = 1.2,
+                            shadow_quads: int = 6, shadow_strength=0.45):
     """Cached-reference deployment regime: (query, reference, transform).
 
     The reference is a LARGE north-up raster; the query is a small rotated
@@ -146,7 +190,7 @@ def device_batch_asymmetric(key, batch: int,
     hr, wr = r_shape
 
     def one(k):
-        k_tex, k_aff, k_pho, k_blur = jax.random.split(k, 4)
+        k_tex, k_aff, k_pho, k_blur, k_sh = jax.random.split(k, 5)
         ref = _texture(k_tex, r_shape)
         ka, ks, kx, ky = jax.random.split(k_aff, 4)
         ang = jnp.radians(jax.random.uniform(
@@ -185,6 +229,9 @@ def device_batch_asymmetric(key, batch: int,
         bias = jax.random.uniform(kb, (), minval=-0.15, maxval=0.15)
         noise = 0.02 * jax.random.normal(kn, q_shape)
         query = jnp.clip(query * gain + bias + noise, 0.0, 1.0)
+        if shadow_quads:
+            query = _cast_shadows(k_sh, query, n=shadow_quads,
+                                  max_strength=shadow_strength)
         return query, ref_b, a
 
     keys = jax.random.split(key, batch)

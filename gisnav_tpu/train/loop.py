@@ -33,6 +33,7 @@ def train(
     log_every: int = 20,
     seed: int = 0,
     device_data: Optional[bool] = None,
+    init_params=None,
 ):
     """Run self-supervised homography training; returns the final params.
 
@@ -40,6 +41,10 @@ def train(
     pairs on-device and advances the loop in jitted multi-step chunks —
     the host only polls metrics. ``False`` uses the host/cv2 generator
     (CPU default, exercised by tests).
+
+    ``init_params``: start from an existing parameter tree (fine-tuning a
+    bundled weight set) instead of random init; the optimizer state starts
+    fresh. The tree structure must match the config's architecture.
     """
     config = config or TrainConfig()
     if device_data is None:
@@ -57,6 +62,16 @@ def train(
         state, tx = init_loftr_train_state(jax.random.PRNGKey(seed), config)
     else:
         state, tx = init_train_state(jax.random.PRNGKey(seed), config)
+    if init_params is not None:
+        init_params = jax.device_put(init_params)
+        ref_struct = jax.tree_util.tree_structure(state.params)
+        got_struct = jax.tree_util.tree_structure(init_params)
+        if ref_struct != got_struct:
+            raise ValueError(
+                "init_params tree structure does not match the config's "
+                f"architecture: {got_struct} vs {ref_struct}")
+        state = state._replace(params=init_params,
+                               opt_state=tx.init(init_params))
     t0 = time.time()
 
     if device_data:

@@ -282,6 +282,7 @@ def make_cached_regime_chunk(config: CachedRegimeConfig,
                 k, batch_size, config.q_shape, config.r_shape,
                 max_angle_deg=30.0 + 150.0 * d,
                 max_blur_sigma=1.2 * d,
+                shadow_strength=0.45 * d,
             )
             st, metrics = step_fn(st, q, r, hom)
             return st, metrics
@@ -323,6 +324,7 @@ def make_device_train_chunk(config: TrainConfig,
                 max_scale=0.3 + 1.3 * d,
                 max_shift=0.06 + 0.06 * d,
                 max_blur_sigma=1.6 * d,
+                shadow_strength=0.45 * d,
             )
             st, metrics = step_fn(st, img0, img1, hom)
             return st, metrics
