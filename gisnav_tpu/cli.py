@@ -401,13 +401,18 @@ def main(argv=None) -> int:
                      help="pose backend; 'deep' (default) is the cached "
                           "SuperPoint+LightGlue device program the bench "
                           "measures")
-    run.add_argument("--weights", default="harris_lg5",
-                     help="bundled weight set (harris_lg5 | learned_lg9) "
-                          "or a path to an .npz checkpoint")
+    run.add_argument("--weights", default="learned_lg9",
+                     help="bundled weight set (learned_lg9 | harris_lg5) "
+                          "or a path to an .npz checkpoint; learned_lg9 + "
+                          "warp is the both-gates production default "
+                          "(round-4: 8/8 yaws <10 m AND 47 FPS at "
+                          "1080p/2048 kp on one v5e chip)")
     run.add_argument("--deep-mode", choices=("cached", "warp"),
-                     default="cached",
-                     help="cached: HBM-resident map features (production); "
-                          "warp: per-frame rotate/crop (StereoNode parity)")
+                     default="warp",
+                     help="warp: per-frame rotate/GSD-crop + dual extract "
+                          "(production default — strongest accuracy); "
+                          "cached: HBM-resident map features (throughput "
+                          "ceiling; rotation-weaker at high resolution)")
     run.add_argument("--ros", action="store_true",
                      help="bridge the bus to ROS 2 topics (needs rclpy)")
     run.add_argument("--params", help="JSON file with per-node parameters")

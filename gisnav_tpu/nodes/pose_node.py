@@ -78,16 +78,17 @@ class PoseNode(Node):
 
                 from gisnav_tpu.pipeline.runners import load_bundled
 
-                # weights: "harris_lg5" (default; strongest in cached
-                # mode) or "learned_lg9" (headline architecture; strongest
-                # in warp mode)
+                # weights: "learned_lg9" (default; the round-4 both-gates
+                # production architecture) or "harris_lg5" (fastest at the
+                # reference-class 640x480 camera in cached mode)
                 wparams, wconfig = load_bundled(
-                    self.param("weights", "harris_lg5"))
-                # production default: cached-reference mode — map features
-                # extracted once per map refresh, HBM-resident between
-                # refreshes (the path bench.py measures); "warp" re-runs the
-                # extractor on a rotated crop per frame (StereoNode parity)
-                if self.param("deep_mode", "cached") == "warp":
+                    self.param("weights", "learned_lg9"))
+                # production default: warp mode — per-frame rotate/GSD-crop
+                # + dual extraction (8/8 yaws <10 m at 1080p/2048 kp, 47
+                # FPS; the path bench.py measures). "cached" keeps map
+                # features HBM-resident between refreshes: ~1.5x faster,
+                # rotation-weaker at high resolution.
+                if self.param("deep_mode", "warp") == "warp":
                     self._deep_runner = make_deep_runner(
                         params=wparams, config=wconfig)
                 else:
