@@ -1,13 +1,16 @@
 """Headline benchmark: sustained frame->geopose throughput at 1080p, 2048 kp.
 
-Measures the production hot path (cached-reference mode): per frame, the
-fused device program runs SuperPoint on the query frame, LightGlue (9 layers,
-2048 query kp vs 4096 cached map kp), DEM z-lift, RANSAC-PnP and geopose
-assembly; the map's SuperPoint features are extracted once per map refresh
-(the reference refreshes maps only below 0.85 bbox overlap,
-``core/gis_node.py:124-128``) and that cost is AMORTIZED into the reported
-number assuming one refresh per 32 frames — more conservative than real
-flights.
+Measures the PRODUCTION hot path — warp mode, the configuration that passes
+BOTH gates (round-4 validation: 8/8 yaws <10 m horizontal+vertical, mean
+2.7 m, ``benchmarks/sweep_headline_warp.json``; the reference SITL gate is
+``test/sitl/sitl_px4.py:263-280``). Per frame the fused device program
+rotates+GSD-crops the 2208^2 orthoimage (Pallas 3-shear), runs SuperPoint
+on BOTH views, LightGlue (9 layers, 2048 vs 2048 kp), DEM z-lift,
+RANSAC-PnP and geopose assembly. The cached-reference mode (map features
+extracted once per refresh, HBM-resident — faster but rotation-weaker at
+this resolution) is reported as a secondary figure with its refresh cost
+amortized at one refresh per 32 frames (reference refresh gate:
+``core/gis_node.py:124-128``).
 
 N frames run inside one ``lax.scan`` and a single synchronized execution is
 timed: this measures true device throughput independent of the host link (the
@@ -131,6 +134,7 @@ def main():
     from gisnav_tpu.geometry.crs import pixel_to_wgs84_affine
     from gisnav_tpu.pipeline import (
         PipelineConfig,
+        build_frame_to_geopose,
         build_frame_to_geopose_cached,
         build_reference_extractor,
         init_pipeline_params,
@@ -139,7 +143,7 @@ def main():
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     if on_tpu:
         h, w = 1088, 1920  # 1080p padded to /8
-        ortho_hw = 2048
+        ortho_hw = 2048  # cached-mode map raster (round-1..3 continuity)
         max_kp = 2048
         frames = 32
         reps = 5
@@ -149,6 +153,11 @@ def main():
         max_kp = 256
         frames = 4
         reps = 2
+    # warp mode requests the map at the camera-diagonal size
+    # (gis/wms.py orthoimage_size_for_camera; reference gis_node.py:360-384)
+    warp_map = int(np.ceil(float(np.hypot(h, w)) / 8)) * 8
+    alt_m = 500.0
+    focal = 400.0 * w / 640.0  # same FOV angle as the validated suite
 
     config = PipelineConfig(
         image_shape=(h, w),
@@ -156,6 +165,9 @@ def main():
         max_keypoints=max_kp,
         lightglue_depth=9,
     )
+    import dataclasses as _dc
+
+    config_warp = _dc.replace(config, ortho_shape=(warp_map, warp_map))
     # run the bundled learned SuperPoint + LightGlue-9 weights (the headline
     # architecture); conv/attention params are resolution-independent, so the
     # same tree serves every image_shape/max_keypoints. Random init only as
@@ -170,6 +182,7 @@ def main():
     except Exception:
         weights_name = "random_init"
         params = init_pipeline_params(jax.random.PRNGKey(0), config)
+    warp_fn = build_frame_to_geopose(config_warp)
     frame_fn = build_frame_to_geopose_cached(config)
     extract_ref_fn = build_reference_extractor(config)
     extract_ref = jax.jit(extract_ref_fn)
@@ -178,9 +191,8 @@ def main():
     # the scan; rendered-world content (not noise) so match/RANSAC stages
     # run at production occupancy in the timed program
     n_ring = 4
-    focal = 1000.0
     ring_np, ortho_np = _render_fixture(
-        0, h, w, ortho_hw, focal, n_ring=n_ring)
+        0, h, w, ortho_hw, focal, alt_m=alt_m, n_ring=n_ring)
     ring = jnp.asarray(ring_np)
     ortho = jnp.asarray(ortho_np)
     dem = jnp.zeros((ortho_hw, ortho_hw), jnp.float32)
@@ -192,6 +204,18 @@ def main():
         pixel_to_wgs84_affine(ortho_hw, ortho_hw, 24.0, 60.0, 24.02, 60.01),
         jnp.float32,
     )
+    w_ring_np, w_ortho_np = _render_fixture(
+        3, h, w, warp_map, focal, alt_m=alt_m, n_ring=n_ring)
+    w_ring = jnp.asarray(w_ring_np)
+    w_ortho = jnp.asarray(w_ortho_np)
+    w_dem = jnp.zeros((warp_map, warp_map), jnp.float32)
+    w_aff = jnp.asarray(
+        pixel_to_wgs84_affine(warp_map, warp_map, 24.0, 60.0, 24.02, 60.01),
+        jnp.float32,
+    )
+    # GSD-matched crop zoom = query_gsd / map_gsd (see pipeline/runners.py)
+    w_map_gsd = 3.0 * alt_m * max(h, w) / focal / warp_map
+    w_zoom = jnp.float32((alt_m / focal) / w_map_gsd)
 
     def scan_frames(params, ring, ref_feats, dem, k, aff, key):
         def body(carry, i):
@@ -210,6 +234,25 @@ def main():
         return acc, inl
 
     run = jax.jit(scan_frames)
+
+    def scan_warp(params, ring, ortho, dem, k, aff, key):
+        def body(carry, i):
+            pose = warp_fn(
+                params, ring[i % n_ring], ortho, dem,
+                jnp.float32(-37.0), k, aff,
+                jax.random.fold_in(key, i), w_zoom,
+            )
+            acc, inl = carry
+            acc = acc + jnp.sum(jnp.nan_to_num(pose.ecef_position))
+            inl = inl + pose.num_inliers.astype(jnp.float32)
+            return (acc, inl), None
+
+        (acc, inl), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            jnp.arange(frames, dtype=jnp.int32))
+        return acc, inl
+
+    warp_run = jax.jit(scan_warp)
 
     def scan_refresh(params, ortho, key):
         # map-refresh cost: one reference extraction, scanned for stable timing
@@ -233,37 +276,54 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
 
+    # -- HEADLINE: warp mode (the both-gates production configuration) ----
+    _ = jax.block_until_ready(
+        warp_run(params, w_ring, w_ortho, w_dem, k, w_aff,
+                 jax.random.PRNGKey(1)))
+    w_times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        acc, inl = (np.asarray(x) for x in
+                    warp_run(params, w_ring, w_ortho, w_dem, k, w_aff,
+                             jax.random.PRNGKey(2 + r)))
+        w_times.append(time.perf_counter() - t0)
+    assert np.isfinite(acc)
+    per_frame = (float(np.median(w_times)) - rtt) / frames
+    inliers_per_frame = float(inl) / frames
+    fps = 1.0 / per_frame
+
+    # -- secondary: cached-reference mode (throughput ceiling) ------------
     ref_feats = extract_ref(params, ortho)
-    # compile + warmup (forces all transfers to settle)
     _ = jax.block_until_ready(
         run(params, ring, ref_feats, dem, k, aff, jax.random.PRNGKey(1))
     )
     _ = np.asarray(refresh_run(params, ortho, jax.random.PRNGKey(1)))
-
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
-        acc, inl = (np.asarray(x) for x in
-                    run(params, ring, ref_feats, dem, k, aff,
-                        jax.random.PRNGKey(2 + r)))
+        c_acc, c_inl = (np.asarray(x) for x in
+                        run(params, ring, ref_feats, dem, k, aff,
+                            jax.random.PRNGKey(2 + r)))
         times.append(time.perf_counter() - t0)
-    assert np.isfinite(acc)
-    inliers_per_frame = float(inl) / frames
-    per_frame = (float(np.median(times)) - rtt) / frames
+    assert np.isfinite(c_acc)
+    c_per_frame = (float(np.median(times)) - rtt) / frames
 
     t0 = time.perf_counter()
     _ = np.asarray(refresh_run(params, ortho, jax.random.PRNGKey(9)))
     refresh_s = (time.perf_counter() - t0 - rtt) / 4.0
 
-    # amortize one map refresh per `frames` frames into sustained throughput
-    sustained = 1.0 / (per_frame + refresh_s / frames)
-    fps = sustained
+    # amortize one map refresh per `frames` frames into cached throughput
+    cached_mode = {
+        "fps": round(1.0 / (c_per_frame + refresh_s / frames), 2),
+        "p50_latency_ms": round(c_per_frame * 1e3, 2),
+        "map_refresh_ms": round(refresh_s * 1e3, 2),
+        "inliers_per_frame": round(float(c_inl) / frames, 1),
+    }
 
-    # second measurement at the ACCURACY-VALIDATED config (one config, both
-    # numbers): harris_lg5 at 480x640 / 512 kp in cached mode is the weight
-    # set that passes the 10/10-at-10-m sweep (tests/test_cached_runner.py,
-    # tests/test_envelope.py); report its device FPS alongside the headline
-    validated = None
+    # third figure: the SMALL validated config (reference-class 640x480
+    # camera): harris_lg5 / 512 kp cached passes 10/10-at-10-m
+    # (tests/test_cached_runner.py, tests/test_envelope.py)
+    small = None
     if on_tpu:
         try:
             from gisnav_tpu.pipeline.runners import load_bundled
@@ -311,7 +371,7 @@ def main():
                                      v_aff, jax.random.PRNGKey(2 + r)))
                 v_times.append(time.perf_counter() - t0)
             v_per_frame = (float(np.median(v_times)) - rtt) / frames
-            validated = {
+            small = {
                 "config": "640x480_512kp_harris_lg5_cached",
                 "fps": round(1.0 / v_per_frame, 2),
                 "p50_latency_ms": round(v_per_frame * 1e3, 2),
@@ -319,7 +379,7 @@ def main():
                             "config (test_cached_runner/test_envelope)",
             }
         except Exception as e:  # never fail the headline metric
-            validated = {"error": str(e)[:200]}
+            small = {"error": str(e)[:200]}
 
     print(json.dumps({
         "metric": "frame_to_geopose_fps_1080p_2048kp",
@@ -327,7 +387,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
         "p50_latency_ms": round(per_frame * 1e3, 2),
-        "map_refresh_ms": round(refresh_s * 1e3, 2),
+        "mode": "warp",
         "frames_per_measurement": frames,
         "frame_content": "rendered_world",
         "inliers_per_frame": round(inliers_per_frame, 1),
@@ -335,7 +395,19 @@ def main():
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "weights": weights_name,
-        "validated_config": validated,
+        # the headline config IS the accuracy-validated config (round-4):
+        # warp mode passes 8/8 yaws <10 m on the on-chip
+        # resolution-matched sweep at this exact shape/kp/depth
+        "validated_config": {
+            "config": f"{h}x{w}_{max_kp}kp_lg9_{weights_name}_warp",
+            "fps": round(fps, 2),
+            "p50_latency_ms": round(per_frame * 1e3, 2),
+            "accuracy": "8/8 yaws <10 m horiz+vert (mean 2.7 m, max "
+                        "7.9 m) on the on-chip resolution-matched sweep "
+                        "(benchmarks/sweep_headline_warp.json)",
+        },
+        "cached_mode": cached_mode,
+        "small_config": small,
     }))
 
 

@@ -77,12 +77,26 @@ class TestVehicleCompose:
 class TestToolsOverlay:
     def test_tooling_services_present(self):
         services = _load("docker-compose.tools.yaml")["services"]
-        for name in ("qgc", "rviz", "rqt", "monitoring"):
+        for name in ("admin", "qgc", "rviz", "rqt", "monitoring"):
             assert name in services, name
 
     def test_monitoring_sees_host_pids(self):
         mon = _load("docker-compose.tools.yaml")["services"]["monitoring"]
         assert mon.get("pid") == "host"
+
+    def test_admin_surface_complete(self):
+        """Reference parity: nginx proxy + homepage + OpenLayers WFS-T
+        track map (hmakelin/gisnav docker-compose.yaml:119-133)."""
+        admin = _load("docker-compose.tools.yaml")["services"]["admin"]
+        ctx = os.path.join(DOCKER, admin["build"]["context"])
+        assert os.path.isfile(os.path.join(ctx, "Dockerfile"))
+        conf = open(os.path.join(ctx, "nginx.conf")).read()
+        assert "mapserver" in conf and "/wfst" in conf
+        page = open(os.path.join(ctx, "html", "index.html")).read()
+        # the admin map must read the exact feature type the WFSTNode
+        # writes, through the same-origin proxy
+        assert "gisnav:position" in page
+        assert "/wms" in page
 
 
 class TestHilOverlay:

@@ -42,7 +42,7 @@ class _MatchedWorld:
     """
 
     def __init__(self, side_m: float, gsd_m: float, lon0: float,
-                 lat0: float, seed: int = 7):
+                 lat0: float, seed: int = 7, octave_falloff: float = 0.85):
         import cv2 as _cv2
         import numpy as _np
 
@@ -83,6 +83,12 @@ class _MatchedWorld:
         # matchable detail at low altitude — unlike real orthoimagery whose
         # material texture (grass/asphalt/canopy) keeps local contrast at
         # every GSD.
+        # octave_falloff 1.0 = equal amplitude per octave = constant POWER
+        # per octave band — the textbook natural-image 1/f statistic; the
+        # legacy 0.85 underweights fine octaves, which after the map's
+        # INTER_AREA downsample leaves low-altitude FOVs feature-starved
+        # (measured: alt-150 matching collapses at 0.85, unlike real
+        # orthoimagery whose material texture persists at every GSD)
         octaves = max(2, int(_np.ceil(_np.log2(w_px / 4))))
         acc = _np.zeros((w_px, w_px), _np.float32)
         amp = 1.0
@@ -91,7 +97,7 @@ class _MatchedWorld:
             grid = rng.standard_normal((n, n)).astype(_np.float32)
             acc += amp * _cv2.resize(grid, (w_px, w_px),
                                      interpolation=_cv2.INTER_CUBIC)
-            amp *= 0.85
+            amp *= octave_falloff
             del grid
         acc *= 20.0 / max(float(acc.std()), 1e-6)
         world = _np.clip(world.astype(_np.float32) + acc, 0, 255)
@@ -137,6 +143,10 @@ def main():
                          "many meters from truth (emulates the EKF fix "
                          "the production pose node feeds back; enables "
                          "the FOV-radius candidate gate)")
+    ap.add_argument("--octave-falloff", type=float, default=0.85,
+                    help="matched-world texture amplitude falloff per "
+                         "octave; 1.0 = constant power per octave band "
+                         "(natural-image statistic)")
     ap.add_argument("--threshold-px", type=float, default=None,
                     help="RANSAC inlier threshold override (query px)")
     ap.add_argument("--hypotheses", type=int, default=None,
@@ -181,7 +191,8 @@ def main():
                else float(args.world_gsd))
         # cover the largest map request (3x FOV side) plus flight offsets
         side_m = 3.0 * max(args.alts) * max(h, w) / f * 1.1 + 200.0
-        mw = _MatchedWorld(side_m, gsd, lon0, lat0)
+        mw = _MatchedWorld(side_m, gsd, lon0, lat0,
+                           octave_falloff=args.octave_falloff)
         world_img = mw.world
         world_gsd_m = mw.gsd_m
         lonlat_to_wpx = mw.lonlat_to_wpx
