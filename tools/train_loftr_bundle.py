@@ -27,9 +27,11 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--image-shape", default="192x256",
+    ap.add_argument("--image-shape", default="256x320",
                     help="training pair size HxW (arch is resolution-"
-                         "independent; larger = slower, better fine loss)")
+                         "independent; larger = slower, better fine loss; "
+                         "coarse grid (H/8)*(W/8) must be >= 1024 for the "
+                         "pinned max_matches)")
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--out", default=None,
                     help="npz path (default: the bundled LOFTR_PATH)")
@@ -43,6 +45,9 @@ def main() -> int:
     from gisnav_tpu.weights import LOFTR_PATH, save_npz
 
     h, w = (int(v) for v in args.image_shape.split("x"))
+    if (h // 8) * (w // 8) < 1024:
+        ap.error(f"coarse grid {(h // 8) * (w // 8)} < max_matches 1024 "
+                 f"(top_k would fail); use >= 256x320")
     # depth/max_matches MUST match the pipeline architecture
     # (init_semidense_params builds LoFTR(max_matches=1024, depth default 4))
     cfg = LoFTRTrainConfig(
