@@ -68,6 +68,9 @@ def geoid_height(lon: float, lat: float) -> float:
     """
     grid, lat0, lon0, dlat, dlon = load_grid()
     nr, nc = grid.shape
+    if not (np.isfinite(lat) and np.isfinite(lon)):
+        # propagate rather than crash on int(nan); callers gate finiteness
+        return float("nan")
     i = (float(lat) - lat0) / dlat
     j = ((float(lon) - lon0) % 360.0) / dlon
     i0 = int(np.clip(np.floor(i), 0, nr - 2))

@@ -88,6 +88,14 @@ class MockGPSNode(Node):
 
         pos_ecef = (h_earth_odom @ np.append(odom["position"], 1.0))[:3]
         lon, lat, alt_ellipsoid = ecef_to_wgs84(*pos_ecef)
+        if not (np.isfinite(lon) and np.isfinite(lat)
+                and np.isfinite(alt_ellipsoid)):
+            # fail-soft like every other node: a transient non-finite
+            # transform (filter re-initialization) must drop the fix, not
+            # crash the output node (int(nan) in the scaled-integer fields)
+            self.log.warning("non-finite geopose at %d; fix dropped",
+                             odom["stamp_us"])
+            return None
         alt_amsl = alt_ellipsoid - self._undulation(lon, lat)
 
         cov = np.asarray(odom["pose_covariance"])

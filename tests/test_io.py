@@ -329,3 +329,43 @@ class TestSerialBridge:
         assert os.readlink(link) == bridge.slave_path
         bridge.close()
         assert not os.path.exists(link)
+
+
+class TestNonFiniteFixGating:
+    def test_geoid_height_nan_safe(self):
+        import math
+
+        from gisnav_tpu.geometry.geoid import geoid_height
+
+        assert math.isnan(geoid_height(float("nan"), 60.0))
+        assert math.isnan(geoid_height(24.0, float("nan")))
+
+    def test_mock_gps_drops_non_finite_pose(self):
+        """A transient NaN transform must drop the fix, not crash
+        (int(nan) in the scaled-integer lat/lon fields; regression from
+        the round-4 slow-suite run)."""
+        import numpy as np
+
+        from gisnav_tpu.nodes.bus import LocalBus
+        from gisnav_tpu.nodes.mock_gps import UORBNode, _WARMUP_MESSAGES
+
+        class NanTf:
+            def can_transform(self, a, b):
+                return True
+
+            def lookup(self, a, b, stamp):
+                m = np.eye(4)
+                m[0, 3] = float("nan")
+                return m
+
+        node = UORBNode(LocalBus(), tf=NanTf())
+        odom = {
+            "frame_id": "gisnav_odom", "stamp_us": 1,
+            "position": np.zeros(3),
+            "quat_xyzw": np.array([0.0, 0, 0, 1.0]),
+            "velocity_body": np.zeros(3),
+            "pose_covariance": np.eye(6),
+            "twist_covariance": np.eye(6),
+        }
+        node._counter = _WARMUP_MESSAGES  # past warmup
+        assert node.odom_to_fix(odom) is None  # dropped, no crash
