@@ -26,7 +26,7 @@ from gisnav_tpu.constants import (
     ROS_TOPIC_RELATIVE_POSE,
 )
 from gisnav_tpu.geometry.crs import enu_to_ecef_matrix, proj_to_affine, wgs84_to_ecef
-from gisnav_tpu.geometry.quaternion import heading_deg_from_quat, matrix_to_quat
+from gisnav_tpu.geometry.quaternion import matrix_to_quat, quat_to_matrix
 from gisnav_tpu.geometry.se3 import invert, make_transform
 from gisnav_tpu.nodes.base import Node
 from gisnav_tpu.nodes.gis_node import TOPIC_ORTHOIMAGE
@@ -158,15 +158,25 @@ class PoseNode(Node):
             self.publish(TOPIC_POSE, pose)
 
     def _rotation_deg(self) -> float:
-        """Camera-yaw rotation for the reference crop (classical backend
-        aligns the raster like the reference StereoNode; the deep backend is
-        rotation-robust and ignores this)."""
+        """Map-alignment rotation: rotate the north-up reference raster by
+        this angle (cv2 CCW, y-down) so its content matches the camera
+        image orientation.
+
+        Derived geometrically: the IMAGE-UP direction in ENU is the
+        camera_optical frame's -y axis; the map rotation that aligns map
+        north with image up is that vector's compass angle
+        ``atan2(up_east, up_north)`` (render-alignment verified, ncc 0.986
+        at the correct angle on the synthetic world). The previous
+        ``-heading`` formula was off by a yaw-dependent amount — masked for
+        the SIFT/LightGlue backends by their rotation robustness, fatal
+        for the semidense (LoFTR) backend whose coarse cell matching has
+        none.
+        """
         if self._attitude is None:
             return 0.0
-        heading = heading_deg_from_quat(np.asarray(self._attitude["quat_xyzw"]))
-        # cv2 rotation is CCW-positive: rotating the map by -heading aligns
-        # map north with camera up
-        return float(-heading)
+        r = quat_to_matrix(np.asarray(self._attitude["quat_xyzw"]))
+        up = -r[:, 1]  # image-up in ENU
+        return float(np.degrees(np.arctan2(up[0], up[1])))
 
     def estimate(self, image_msg) -> Optional[dict]:
         if self._ortho is None or self._camera_info is None:

@@ -361,10 +361,17 @@ def build_frame_to_geopose_semidense(config: PipelineConfig):
     h, w = config.image_shape
     loftr = LoFTR(max_matches=config.max_keypoints)
 
-    def fn(params, query, ortho, dem, rotation_deg, k, crs_affine, key
-           ) -> GeoPose:
+    def fn(params, query, ortho, dem, rotation_deg, k, crs_affine, key,
+           gsd_zoom=None) -> GeoPose:
+        # GSD-matched crop is ESSENTIAL here: LoFTR's dual-softmax matches
+        # coarse cells 1:1 in scale — at the production map sizing the raw
+        # crop is ~2.4x coarser than the query and coarse matching starves
+        # entirely (round-4: 0 valid poses on the envelope flight without
+        # zoom; the detector path tolerates the gap via descriptor scale
+        # robustness, cell matching cannot)
         stack = jnp.stack([ortho, dem], axis=-1)
-        warped, m_crop = rotate_and_crop_auto(stack, rotation_deg, (h, w))
+        warped, m_crop = rotate_and_crop_auto(stack, rotation_deg, (h, w),
+                                              zoom=gsd_zoom)
         ref_img = warped[:, :, 0]
         dem_crop = warped[:, :, 1]
 
@@ -492,14 +499,15 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
             src = query
 
         if rotation_deg is not None:
-            # query-side derotation (see builder docstring). Sign: image
-            # content rotates in the OPPOSITE sense to the camera frame, so
-            # the query uses the SAME rotation_deg the warp-mode pipeline
-            # applies to the reference (verified by render alignment,
-            # ncc=1.0 at the correct sign). m_q maps derotated -> camera
-            # pixel coords.
+            # query-side derotation (see builder docstring). Convention:
+            # callers pass the MAP-ALIGNMENT rotation (the angle warp mode
+            # rotates the reference by, ``PoseNode._rotation_deg``); the
+            # query needs the INVERSE to become north-up (render-alignment
+            # verified: ncc=1.0 at -rotation on the synthetic world; the
+            # round-3 comment claiming the same sign was measured through
+            # its own bug). m_q maps derotated -> camera pixel coords.
             derot, m_q = rotate_and_crop_auto(
-                src[..., None], jnp.asarray(rotation_deg, jnp.float32),
+                src[..., None], -jnp.asarray(rotation_deg, jnp.float32),
                 src.shape,
             )
             f_qry = sp.apply(params["superpoint"], derot[..., 0])

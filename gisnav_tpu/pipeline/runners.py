@@ -179,11 +179,20 @@ def make_semidense_runner(params=None,
 
     def runner(query: np.ndarray, ortho: np.ndarray, dem: np.ndarray,
                rotation_deg: float, k: np.ndarray,
-               crs_affine: np.ndarray, map_stamp=None) -> GeoPose:
+               crs_affine: np.ndarray, map_stamp=None,
+               altitude_agl=None) -> GeoPose:
         shape = ortho.shape[:2]
         if shape not in cache:
             cache[shape] = jax.jit(fn)
         counter["n"] += 1
+        # GSD-matched crop (query_gsd / map_gsd): LoFTR's coarse cell
+        # matching requires ~1:1 content scale between the views (see
+        # build_frame_to_geopose_semidense)
+        zoom = 1.0
+        map_gsd = float(abs(np.asarray(crs_affine)[2, 2]))
+        if altitude_agl is not None and altitude_agl > 0 and map_gsd > 0:
+            zoom = (float(altitude_agl) / float(np.asarray(k)[0, 0])
+                    ) / map_gsd
         return cache[shape](
             params,
             jnp.asarray(query, jnp.float32) / 255.0,
@@ -193,6 +202,7 @@ def make_semidense_runner(params=None,
             jnp.asarray(k, jnp.float32),
             jnp.asarray(crs_affine, jnp.float32),
             jax.random.PRNGKey(counter["n"]),
+            jnp.float32(zoom),
         )
 
     return runner

@@ -51,7 +51,7 @@ class TestPretrainedDeep:
         # over 8 yaws x 3 altitudes, mean 2.95 m, max 4.1 m)
         for yaw in (ti.YAW_DEG, 135.0):
             frame = ti._render_frame(lon0, lat0, ti.ALT_M, yaw)
-            pose = runner(frame, ortho, dem, -yaw, ti.K_CAM, aff,
+            pose = runner(frame, ortho, dem, yaw, ti.K_CAM, aff,
                           altitude_agl=ti.ALT_M)
 
             assert bool(pose.valid), (

@@ -89,7 +89,7 @@ class TestFractalWorld:
         for yaw in (ti.YAW_DEG, 135.0):
             frame = _render_frame(WORLD_F, lon0, lat0, ti.ALT_M, yaw,
                                   ti.K_CAM)
-            pose = runner(frame, ortho, dem, -yaw, ti.K_CAM, aff,
+            pose = runner(frame, ortho, dem, yaw, ti.K_CAM, aff,
                           altitude_agl=ti.ALT_M)
             out = geopose_to_wgs84_f64(pose, aff)
             horiz = haversine_m(lat0, lon0, out["lat"], out["lon"])

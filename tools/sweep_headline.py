@@ -287,10 +287,11 @@ def main():
                     lon + args.prior_m * np.sin(brg) / m_per_deg_lon,
                     lat + args.prior_m * np.cos(brg) / m_per_deg_lat,
                 )
-            # derotation sign: the production value is -heading
-            # (nodes/pose_node.py _rotation_deg); the warp-mode reference
-            # rotation uses the same convention
-            rot = -yaw if (args.derotate or args.mode == "warp") else 0.0
+            # rotation convention: callers pass the MAP-ALIGNMENT rotation
+            # (the image-up compass angle, = +yaw for this renderer;
+            # nodes/pose_node.py _rotation_deg). The cached derotation path
+            # internally inverts it for the query-side warp.
+            rot = yaw if (args.derotate or args.mode == "warp") else 0.0
             pose = runner(
                 frame, ortho, dem, rot,
                 k_cam, aff, map_stamp=ai + 1, altitude_agl=alt, **kw,
