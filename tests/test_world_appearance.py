@@ -111,15 +111,13 @@ SCENARIOS = {
 
 @pytest.fixture(scope="module")
 def setup():
-    """Shared map + compiled production runner for every scenario."""
+    """Shared map + compiled PRODUCTION runner (learned_lg9, warp mode —
+    the cli.py run default) for every scenario."""
     from gisnav_tpu.geometry.crs import pixel_to_wgs84_affine
-    from gisnav_tpu.pipeline.runners import (
-        load_bundled,
-        make_cached_deep_runner,
-    )
+    from gisnav_tpu.pipeline.runners import load_bundled, make_deep_runner
 
-    params, cfg = load_bundled("harris_lg5")
-    runner = make_cached_deep_runner(params, cfg)
+    params, cfg = load_bundled("learned_lg9")
+    runner = make_deep_runner(params, cfg)
 
     map_px = 800
     side_wpx = int(round(3.0 * ALT * max(H, W) / F / ti.M_PER_WPX))
@@ -153,7 +151,10 @@ def _fly(runner, ortho, dem, aff, transform, rng):
         frame = cv2.warpPerspective(ti.WORLD, hm, (W, H))
         frame = transform(frame, rng)
         assert frame.shape == (H, W) and frame.dtype == np.uint8
-        pose = runner(frame, ortho, dem, 0.0, K_CAM, aff,
+        # warp mode: pass the map-alignment rotation (= +yaw for this
+        # renderer; nodes/pose_node.py _rotation_deg) and altitude for
+        # the GSD-matched crop
+        pose = runner(frame, ortho, dem, yaw, K_CAM, aff,
                       map_stamp=1, altitude_agl=ALT)
         out = geopose_to_wgs84_f64(pose, np.asarray(aff, np.float64))
         horiz = haversine_m(lat, lon, out["lat"], out["lon"])
@@ -167,14 +168,44 @@ def test_appearance_scenario(setup, name, rng):
     runner, ortho, dem, aff = setup
     rows = _fly(runner, ortho, dem, aff, SCENARIOS[name], rng)
     bad = [r for r in rows if not r[1] or r[3] >= 10.0]
-    if bad and name == "sun_shadows":
-        # Known gap in the current harris_lg5 bundle: novel cast-shadow
-        # quads collapse matching (isolated: cast quads ALONE drop a
-        # 40-inlier fix to 4 inliers). The training curriculum now
-        # includes _cast_shadows augmentation (train/device_data.py);
-        # this xfail self-clears the day a shadow-robust bundle ships.
-        pytest.xfail(f"harris_lg5 predates cast-shadow augmentation: {rows}")
     assert not bad, (name, rows)
+
+
+def test_harris_cached_shadow_brittleness_documented(rng):
+    """The small-config harris path is KNOWN-brittle to cast shadows:
+    the parameter-free Harris detector spends its budget on shadow-edge
+    corners (measured: 512 -> 144 keypoints, 77% on shadow pixels; 1
+    inlier). The production default (learned detector + warp, gated above)
+    survives the same scenario with >140 inliers. This test pins the
+    *documented* behavior so a silent fix or regression is noticed; if it
+    starts passing, promote harris into the strict gate above.
+    """
+    from gisnav_tpu.geometry.crs import pixel_to_wgs84_affine
+    from gisnav_tpu.pipeline.runners import (
+        load_bundled,
+        make_cached_deep_runner,
+    )
+
+    params, cfg = load_bundled("harris_lg5")
+    runner = make_cached_deep_runner(params, cfg)
+    map_px = 800
+    side_wpx = int(round(3.0 * ALT * max(H, W) / F / ti.M_PER_WPX))
+    cx, cy = ti._lonlat_to_wpx(LON0, LAT0)
+    x0, y0 = int(cx - side_wpx / 2), int(cy - side_wpx / 2)
+    crop = ti.WORLD[y0:y0 + side_wpx, x0:x0 + side_wpx]
+    ortho = cv2.resize(crop, (map_px, map_px), interpolation=cv2.INTER_AREA)
+    left = ti.LEFT + x0 * ti.GSD_LON
+    top = ti.TOP - y0 * ti.GSD_LAT
+    aff = pixel_to_wgs84_affine(
+        map_px, map_px, left, top - side_wpx * ti.GSD_LAT,
+        left + side_wpx * ti.GSD_LON, top)
+    dem = np.zeros((map_px, map_px), np.float32)
+    rows = _fly(runner, ortho, dem, aff, SCENARIOS["sun_shadows"], rng)
+    bad = [r for r in rows if not r[1] or r[3] >= 10.0]
+    if not bad:
+        pytest.fail(
+            "harris cached now PASSES sun_shadows — promote it into the "
+            f"strict appearance gate: {rows}")
 
 
 def test_perturbations_actually_perturb(rng):
