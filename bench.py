@@ -402,8 +402,8 @@ def main():
             "config": f"{h}x{w}_{max_kp}kp_lg9_{weights_name}_warp",
             "fps": round(fps, 2),
             "p50_latency_ms": round(per_frame * 1e3, 2),
-            "accuracy": "8/8 yaws <10 m horiz+vert (mean 0.70 m, max "
-                        "1.46 m) on the on-chip resolution-matched sweep "
+            "accuracy": "8/8 yaws <10 m horiz+vert (mean 0.73 m, max "
+                        "1.75 m) on the on-chip resolution-matched sweep "
                         "(benchmarks/sweep_headline_warp.json)",
         },
         "cached_mode": cached_mode,

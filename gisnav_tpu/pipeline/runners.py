@@ -46,9 +46,11 @@ LEARNED_LG9_CONFIG = dataclasses.replace(
     PRETRAINED_CONFIG, detector_mode="learned", lightglue_depth=9,
 )
 """Config for ``weights/gisnav_tpu_learned_lg9.npz`` (learned SuperPoint
-detector + 9-layer LightGlue — the headline-bench architecture). Strongest
-in WARP mode (10/10 on the accuracy sweep, mean 4.1 m, ~2x the inliers of
-harris_lg5); prefer ``PRETRAINED_CONFIG``/harris_lg5 for cached mode."""
+detector + 9-layer LightGlue — the PRODUCTION architecture). In WARP mode
+this is the round-4 both-gates config: 8/8 yaws <10 m (mean 0.73 m) AND
+47 FPS at 1088x1920/2048 kp on one v5e chip
+(``benchmarks/sweep_headline_warp.json``). In cached mode prefer
+``PRETRAINED_CONFIG``/harris_lg5 (rotation robustness without a warp)."""
 
 SEMIDENSE_CONFIG = dataclasses.replace(PRETRAINED_CONFIG, max_keypoints=1024)
 """Config for ``weights/gisnav_tpu_loftr.npz`` (semi-dense LoFTR variant;
