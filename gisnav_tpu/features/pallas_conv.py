@@ -275,6 +275,12 @@ def conv_stage_pallas(
     n_rows = h // tr
     n_cols = wv // tcv
     n_total = n_rows * n_cols
+    # fuse the 2x2 maxpool into the kernel when the layout allows it: at
+    # pack=2 the x-pair max is the two lane phase blocks and the row-pair
+    # max is adjacent tcs-row blocks (same trick as the stem kernel) — the
+    # full-res activation then never round-trips HBM (measured 0.35 ms of
+    # unpack-reshape + XLA pool glue at stage2's 544x960x64, v5e)
+    fuse_pool = pool and pack == 2 and tr % 2 == 0
 
     if double:
         mk = _valid_slab(n_rows, n_cols, tr + 2, tcs, lp, tcv, wv, h,
@@ -329,12 +335,24 @@ def conv_stage_pallas(
         else:
             y = h1[tcs:(tr + 1) * tcs, :]
 
-        # extract the tile's valid (tr, tcv) region; sublane offset lp is
-        # misaligned, costing one small relayout copy per tile
-        out_ref[...] = (
-            y.reshape(tr, tcs, l_out)[:, lp:lp + tcv, :]
-            .astype(compute_dtype)
-        )
+        if fuse_pool:
+            # 2x2 maxpool fused: x-pairs are the two cout-lane phase
+            # blocks; y-pairs are adjacent tcs-row blocks. One misaligned
+            # lp-slice on the whole tile, then aligned pairwise maxes
+            # (unrolled — Mosaic has no strided 3D slicing).
+            yx = jnp.maximum(y[:, :cout], y[:, cout:])  # (m_out, cout)
+            ys = yx.reshape(tr, tcs, cout)[:, lp:lp + tcv, :].astype(
+                compute_dtype
+            )
+            for kk in range(tr // 2):
+                out_ref[kk, :, :] = jnp.maximum(ys[2 * kk], ys[2 * kk + 1])
+        else:
+            # extract the tile's valid (tr, tcv) region; sublane offset lp
+            # is misaligned, costing one small relayout copy per tile
+            out_ref[...] = (
+                y.reshape(tr, tcs, l_out)[:, lp:lp + tcv, :]
+                .astype(compute_dtype)
+            )
 
     out = pl.pallas_call(
         kernel,
@@ -352,10 +370,14 @@ def conv_stage_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tr, tcv, l_out), lambda i, j: (i, j, 0),
+            (tr // 2, tcv, cout) if fuse_pool else (tr, tcv, l_out),
+            lambda i, j: (i, j, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((h, wv, l_out), compute_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (h // 2, wv, cout) if fuse_pool else (h, wv, l_out),
+            compute_dtype,
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, tr + 4, tcs, l_in), compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -372,6 +394,8 @@ def conv_stage_pallas(
         ),
     )(x_hbm, w1f, b1f, w2f, b2f, mk)
 
+    if fuse_pool:
+        return out  # already pooled: (h/2, w/2, cout) — wv == w/2 at pack=2
     img = out.reshape(h, w, cout)
     if pool:
         img = img.reshape(h // 2, 2, w // 2, 2, cout).max(axis=(1, 3))
@@ -537,15 +561,15 @@ def stem_stage_pallas(
         y = jnp.maximum(acc2 + bb_ref[...], 0.0)
         if pool:
             # 2x2 maxpool fused: x-pairs are the two 64-lane phase blocks;
-            # y-pairs are adjacent tcs-row blocks of the flat layout
-            # (unrolled — Mosaic has no strided 3D slicing)
+            # y-pairs are adjacent tcs-row blocks of the flat layout. One
+            # misaligned lp-slice on the whole tile, then aligned pairwise
+            # maxes (unrolled — Mosaic has no strided 3D slicing).
             yx = jnp.maximum(y[:, :cout], y[:, cout:])  # (m_out, cout)
+            ys = yx.reshape(tr, tcs, cout)[:, lp:lp + wv, :].astype(
+                compute_dtype
+            )
             for kk in range(tr // 2):
-                row = jnp.maximum(
-                    yx[(2 * kk) * tcs:(2 * kk + 1) * tcs, :],
-                    yx[(2 * kk + 1) * tcs:(2 * kk + 2) * tcs, :],
-                )
-                out_ref[kk, :, :] = row[lp:lp + wv, :].astype(compute_dtype)
+                out_ref[kk, :, :] = jnp.maximum(ys[2 * kk], ys[2 * kk + 1])
         else:
             out_ref[...] = (
                 y.reshape(tr, tcs, l_out)[:, lp:lp + wv, :]
