@@ -16,15 +16,17 @@ as ONE Mosaic program built on four ideas:
 2. **Vertical taps are free**: a ``dy`` shift is a row shift = a sublane
    slice at a multiple of ``S`` — aligned (S is a multiple of 8), so it
    costs nothing.
-3. **Dense neighbor operand**: the packed activation ``a`` is widened ONCE
-   per conv into ``b = [a | prev-pixel | next-pixel]`` — ``(m, (p+2)*Cin)``
-   lanes, the two side blocks being +-1 *sublane-slice* shifts of one
-   pixel's channel block (bf16 sublane slices are cheap; Mosaic's rotate
-   would force an f32 round-trip). Each ``dy`` then contracts in ONE
-   ``(m, (p+2)Cin) @ ((p+2)Cin, p*Cout)`` MXU matmul whose weight density
-   is 3p/(p+2)p: 100% at pack=1, 75% at pack=2 — versus 50% for the
-   earlier per-(dy,u) pair-phase blocks (PLAN.md round-2 analysis: dx=+-1
-   taps straddling pair boundaries cost exactly 2x padded FLOPs).
+3. **Split neighbor operand**: the packed activation ``a`` is consumed in
+   place and only the small ``pn = [prev-pixel | next-pixel]`` block —
+   ``(m, 2*Cin)`` lanes, two +-1 *sublane-slice* shifts of one pixel's
+   channel block (bf16 sublane slices are cheap; Mosaic's rotate would
+   force an f32 round-trip) — is materialized per conv. Each ``dy`` then
+   contracts in TWO full-k MXU matmuls (``a @ W_a[dy]`` at k = p*Cin and
+   ``pn @ W_pn[dy]`` at k = 2*Cin) against row slices of one weight
+   operand whose density is 3p/(p+2)p: 100% at pack=1, 75% at pack=2 —
+   versus 50% for the earlier per-(dy,u) pair-phase blocks (PLAN.md
+   round-2 analysis). An earlier version widened ``a`` into a dense
+   ``[a | pn]`` operand; skipping that copy saved ~0.7 ms/frame at 1080p.
 4. **Double-buffered slab DMA**: each grid step prefetches the next tile's
    input slab from HBM while the current tile computes, hiding HBM latency
    behind the MXU (the round-2 kernel's start-wait-compute serialization
@@ -92,11 +94,11 @@ def _geometry(h: int, w: int, cin: int, cmid: int, cout: int,
     def vmem(tr, tcs, tcv):
         m = (tr + 4) * tcs
         l_in, l_mid, l_out = pack * cin, pack * cmid, pack * cout
-        b_in = (pack + 2) * cin   # conv1 operand lanes
-        b_mid = (pack + 2) * cmid
+        b_in = 2 * cin   # conv1 prev/next (pn) operand lanes
+        b_mid = 2 * cmid
         total = (
             2 * m * l_in * 2           # double-buffered input slab (bf16)
-            + m * b_in * 2             # conv1 neighbor operand
+            + m * b_in * 2             # conv1 pn operand
             + m * max(l_mid, l_out) * 4  # live f32 accumulator
             + 2 * m * cin * 2          # prev/next transients
             + 2 * tr * tcv * l_out * 2  # double-buffered out
@@ -188,39 +190,51 @@ def _valid_slab(n_rows: int, n_cols: int, rows: int, tcs: int, lp: int,
     )
 
 
-def _build_operand(a: jnp.ndarray, cin: int) -> jnp.ndarray:
-    """Widen flat packed ``a`` (m, pack*cin) to the (m, (pack+2)*cin)
-    neighbor operand ``[a | prev-pixel | next-pixel]``.
-
-    prev[p] = a[p-1, last-pixel block], next[p] = a[p+1, first-pixel
-    block] — one-sublane-shifted slices. Row 0 / row m-1 pick up a clamped
-    duplicate; those rows only ever feed pad-column or halo outputs, which
-    the caller discards (pair-column 0 is a zero-pad column in every row,
-    so within-row neighbor reads never cross a row boundary for kept
-    outputs)."""
-    m = a.shape[0]
-    prev = jnp.concatenate([a[:1, -cin:], a[:-1, -cin:]], axis=0)
-    nxt = jnp.concatenate([a[1:, :cin], a[-1:, :cin]], axis=0)
-    return jnp.concatenate([a, prev, nxt], axis=1)
-
-
-def _conv_mxu(b: jnp.ndarray, w_ref, l_blk: int, l_out: int, tcs: int,
-              m_out: int, base: int) -> jnp.ndarray:
-    """acc = sum over dy of dot(b[(base+dy)*tcs : +m_out], W_dy).
-
-    The dy slice offsets are multiples of tcs (8-aligned, free). ``base``
-    is the row offset of output row 0 within the operand (1 for a 1-row
-    halo, 2 for the stem kernel's 2-row-halo intermediate)."""
+def _conv_mxu_split(a: jnp.ndarray, pn: jnp.ndarray, w_ref, l_in: int,
+                    cin: int, l_blk: int, l_out: int, tcs: int,
+                    m_out: int, base: int) -> jnp.ndarray:
+    """acc = sum over dy of the neighbor-operand contraction, with the
+    operand SPLIT: ``a`` (m, pack*cin) is consumed in place (an earlier
+    version copied it into a widened ``[a | prev | next]`` operand —
+    ~0.7 ms/frame of VMEM traffic at 1080p) and only the small
+    ``pn = [prev | next]`` (m, 2*cin) block is materialized. Each dy
+    contracts in two full-k MXU matmuls against row slices of the same
+    ``_w_operand`` matrix (rows [0, pack*cin) are the a-part taps, rows
+    [pack*cin, (pack+2)*cin) the prev/next taps). The dy slice offsets are
+    multiples of tcs (8-aligned, free); ``base`` is the row offset of
+    output row 0 within the operand (1 for a 1-row halo, 2 for the stem
+    kernel's 2-row-halo intermediate)."""
     acc = jnp.zeros((m_out, l_out), jnp.float32)
     for idx, dy in enumerate((-1, 0, 1)):
         start = (base + dy) * tcs
+        r0 = idx * l_blk
         acc = acc + jax.lax.dot_general(
-            b[start:start + m_out, :],
-            w_ref[idx * l_blk:(idx + 1) * l_blk, :],
+            a[start:start + m_out, :],
+            w_ref[r0:r0 + l_in, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jax.lax.dot_general(
+            pn[start:start + m_out, :],
+            w_ref[r0 + l_in:r0 + l_in + 2 * cin, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     return acc
+
+
+def _build_pn(a: jnp.ndarray, cin: int) -> jnp.ndarray:
+    """The prev/next half of the neighbor operand: (m, 2*cin)
+    ``[prev-pixel | next-pixel]`` one-sublane-shifted slices of ``a``.
+
+    prev[p] = a[p-1, last-pixel block], next[p] = a[p+1, first-pixel
+    block]. Row 0 / row m-1 pick up a clamped duplicate; those rows only
+    ever feed pad-column or halo outputs, which the caller discards
+    (pair-column 0 is a zero-pad column in every row, so within-row
+    neighbor reads never cross a row boundary for kept outputs)."""
+    prev = jnp.concatenate([a[:1, -cin:], a[:-1, -cin:]], axis=0)
+    nxt = jnp.concatenate([a[1:, :cin], a[-1:, :cin]], axis=0)
+    return jnp.concatenate([prev, nxt], axis=1)
 
 
 def conv_stage_pallas(
@@ -317,8 +331,8 @@ def conv_stage_pallas(
         get_dma(step % 2, step).wait()
         a = slab[step % 2].reshape(m_in, l_in)
 
-        bop = _build_operand(a, cin)
-        acc = _conv_mxu(bop, w1_ref, bl_in, l_mid, tcs, m_mid, base=1)
+        acc = _conv_mxu_split(a, _build_pn(a, cin), w1_ref, l_in, cin,
+                              bl_in, l_mid, tcs, m_mid, base=1)
         h1 = jnp.maximum(acc + b1_ref[...], 0.0)
 
         if double:
@@ -329,8 +343,8 @@ def conv_stage_pallas(
             h1 = (h1.reshape(tr + 2, tcs, l_mid) * mk_ref[0]).reshape(
                 m_mid, l_mid
             ).astype(compute_dtype)
-            bop2 = _build_operand(h1, cmid)
-            acc = _conv_mxu(bop2, w2_ref, bl_mid, l_out, tcs, m_out, base=1)
+            acc = _conv_mxu_split(h1, _build_pn(h1, cmid), w2_ref, l_mid,
+                                  cmid, bl_mid, l_out, tcs, m_out, base=1)
             y = jnp.maximum(acc + b2_ref[...], 0.0)
         else:
             y = h1[tcs:(tr + 1) * tcs, :]
@@ -429,14 +443,17 @@ def _stem_geometry(h: int, w: int) -> Optional[Tuple[int, int, int]]:
     tcs = wq_tot
     budget = 44 * 1024 * 1024
     for tr in _row_tiles(h):
-        if tr > 64:
+        # the P slab is DMA'd as a lane slice of the flat (16, m_total) P:
+        # every tile's lane offset (tr*tcs) AND extent ((tr+4)*tcs) must be
+        # 128-aligned, and pooled output tiles need even tr
+        if tr > 64 or tr % 2 or (tr * tcs) % 128 or ((tr + 4) * tcs) % 128:
             continue
         m_in = (tr + 4) * tcs
         m_out = tr * tcs
         vmem = (
             2 * m_in * 16 * 2  # double-buffered P slab (taps in sublanes)
             + m_in * 128 * (4 + 2)  # h1 f32 acc + bf16
-            + m_in * 256 * 2  # conv1b neighbor operand
+            + m_in * 128 * 2  # conv1b pn operand
             + 2 * m_in * 64 * 2  # prev/next transients
             + m_out * 128 * 4  # conv1b f32 accumulator
             + 2 * tr * wv * 128 * 2  # double-buffered out
@@ -556,8 +573,8 @@ def stem_stage_pallas(
         h1 = (h1.reshape(tr + 4, tcs, l_mid) * mk_ref[0]).reshape(
             m_in, l_mid
         ).astype(compute_dtype)
-        bop = _build_operand(h1, cmid)
-        acc2 = _conv_mxu(bop, wb_ref, bl_mid, l_out, tcs, m_out, base=2)
+        acc2 = _conv_mxu_split(h1, _build_pn(h1, cmid), wb_ref, l_mid,
+                               cmid, bl_mid, l_out, tcs, m_out, base=2)
         y = jnp.maximum(acc2 + bb_ref[...], 0.0)
         if pool:
             # 2x2 maxpool fused: x-pairs are the two 64-lane phase blocks;
