@@ -16,12 +16,25 @@ __all__ = ["cache_dir", "enable_persistent_cache"]
 
 
 def _host_key() -> str:
+    # Hash the flags line AND the model identity: XLA:CPU bakes
+    # model-dependent LLVM *tuning* flags (e.g. +prefer-no-scatter /
+    # +prefer-no-gather on AVX512 parts with slow gathers) into its AOT
+    # target, so two hosts with IDENTICAL cpuinfo flags but different
+    # models produce mutually unloadable cache entries (observed: the
+    # loader rejects "+prefer-no-scatter is not supported on the host
+    # machine", then crashes at teardown).
     try:
+        ident = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(
-                        line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "model name", "model\t",
+                                    "cpu family", "stepping")):
+                    ident.append(line)
+                if line.startswith("power management"):
+                    break  # one processor block is enough
+        if ident:
+            return hashlib.sha256(
+                "".join(sorted(set(ident))).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform
