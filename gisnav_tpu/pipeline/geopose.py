@@ -585,3 +585,117 @@ def build_frame_to_geopose_cached(config: PipelineConfig):
         )
 
     return fn
+
+
+def build_warp_reference_extractor(config: PipelineConfig):
+    """Per-bucket reference extractor for BUCKETED warp mode.
+
+    Runs the warp-mode reference side once per (map refresh, rotation
+    bucket, zoom band): fused rotate + GSD crop of the ortho/DEM stack at a
+    QUANTIZED rotation/zoom, then SuperPoint over the warped crop.
+
+    Signature::
+
+        fn(params, ortho, dem, rotation_deg, gsd_zoom) ->
+            (ref_feats, dem_crop, m_crop)
+
+    The TPU-first equivalent of the reference's 45-degree rotation-bucket
+    warp cache (``stereo_node.py:222-267`` in hmakelin/gisnav), with the
+    residual in-bucket rotation absorbed by the matcher instead of a
+    second raster warp.
+    """
+    h, w = config.image_shape
+    sp = SuperPoint(max_keypoints=config.max_keypoints,
+                    score_threshold=config.score_threshold,
+                    detector_mode=config.detector_mode)
+
+    def fn(params, ortho, dem, rotation_deg, gsd_zoom=None):
+        stack = jnp.stack([ortho, dem], axis=-1)
+        warped, m_crop = rotate_and_crop_auto(stack, rotation_deg, (h, w),
+                                              zoom=gsd_zoom)
+        feats = sp.apply(params["superpoint"], warped[:, :, 0])
+        return feats, warped[:, :, 1], m_crop
+
+    return fn
+
+
+def build_frame_to_geopose_warpcached(config: PipelineConfig):
+    """Hot path for BUCKETED warp mode: query-only extraction matched
+    against cached bucket-warped reference features.
+
+    Signature::
+
+        fn(params, query, ref_feats, dem_crop, m_crop, k, crs_affine, key)
+            -> GeoPose
+
+    Identical math to :func:`build_frame_to_geopose` steps 2-6 with the
+    reference half taken from :func:`build_warp_reference_extractor`
+    (``ref_feats``/``dem_crop`` are in the warped-crop frame; ``m_crop``
+    carries the bucket's crop->raster affine into geopose assembly). The
+    residual rotation between the query and the bucket-warped crop is at
+    most half the runner's bucket width — inside the matcher's rotary
+    robustness — so this posts warp-mode accuracy at cached-mode per-frame
+    cost (the map trunk leaves the hot path).
+    """
+    h, w = config.image_shape
+    sp = SuperPoint(max_keypoints=config.max_keypoints,
+                    score_threshold=config.score_threshold,
+                    detector_mode=config.detector_mode)
+    lg = LightGlue(depth=config.lightglue_depth,
+                   filter_threshold=config.filter_threshold)
+
+    def fn(params, query, ref_feats, dem_crop, m_crop, k, crs_affine,
+           key) -> GeoPose:
+        f_qry = sp.apply(params["superpoint"], query)
+
+        match = apply_lightglue(
+            lg,
+            params["lightglue"],
+            f_qry.keypoints, f_qry.descriptors, f_qry.mask, (h, w),
+            ref_feats.keypoints, ref_feats.descriptors, ref_feats.mask,
+            (h, w),
+        )
+        midx = match.matches0
+        mvalid = midx >= 0
+        ref_idx = jnp.clip(midx, 0)
+        mkp_qry = f_qry.keypoints
+        mkp_ref = ref_feats.keypoints[ref_idx]
+        num_matches = jnp.sum(mvalid).astype(jnp.int32)
+
+        # DEM z-lift in crop-pixel units (see build_frame_to_geopose step 4)
+        crop_scale = jnp.sqrt(jnp.abs(jnp.linalg.det(m_crop[:2, :2])))
+        z_scale = crs_affine[2, 2] * crop_scale
+        dem_m = gather_elevation(dem_crop, mkp_ref)
+        obj = jnp.concatenate(
+            [mkp_ref, (dem_m / z_scale)[:, None]], axis=1)
+
+        pnp = ransac_pnp(
+            obj, mkp_qry, k, mvalid,
+            key=key,
+            num_hypotheses=config.num_hypotheses,
+            threshold_px=config.threshold_px,
+            min_inliers=config.min_matches,
+            refine_iters=config.refine_iters,
+        )
+
+        ecef, quat, lla, cam_pos = assemble_geopose(
+            pnp.r, pnp.t, m_crop, crs_affine
+        )
+        valid = pnp.valid & (num_matches >= config.min_matches)
+
+        return GeoPose(
+            ecef_position=ecef,
+            ecef_quat=quat,
+            lon_lat_alt=lla,
+            r_raster=pnp.r,
+            cam_pos_raster=cam_pos,
+            m_crop=m_crop,
+            num_matches=num_matches,
+            num_inliers=pnp.num_inliers,
+            valid=valid,
+            matched_qry=mkp_qry,
+            matched_ref=mkp_ref,
+            match_mask=mvalid & pnp.inliers,
+        )
+
+    return fn

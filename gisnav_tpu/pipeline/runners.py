@@ -26,11 +26,14 @@ from gisnav_tpu.pipeline.geopose import (
     PipelineConfig,
     build_frame_to_geopose,
     build_frame_to_geopose_cached,
+    build_frame_to_geopose_warpcached,
     build_reference_extractor,
+    build_warp_reference_extractor,
 )
 
-__all__ = ["make_deep_runner", "make_cached_deep_runner",
-           "make_semidense_runner", "PRETRAINED_CONFIG"]
+__all__ = ["make_deep_runner", "make_bucketed_warp_runner",
+           "make_cached_deep_runner", "make_semidense_runner",
+           "PRETRAINED_CONFIG"]
 
 
 PRETRAINED_CONFIG = PipelineConfig(
@@ -141,6 +144,86 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
             jnp.asarray(crs_affine, jnp.float32),
             jax.random.PRNGKey(counter["n"]),
             jnp.float32(zoom),
+        )
+
+    return runner
+
+
+def make_bucketed_warp_runner(params=None,
+                              config: Optional[PipelineConfig] = None,
+                              bucket_deg: float = 15.0,
+                              zoom_band: float = 0.10):
+    """Build a PoseNode-compatible BUCKETED warp-mode deep runner.
+
+    Warp-mode accuracy at cached-mode per-frame cost: the map crop is
+    rotated/GSD-resampled at a rotation quantized to ``bucket_deg`` (and a
+    zoom quantized to multiplicative ``1 + zoom_band`` steps), its
+    SuperPoint features cached HBM-resident keyed on (map stamp, rotation
+    bucket, zoom band); per frame only the QUERY runs the extractor before
+    matching. The matcher absorbs the residual <= ``bucket_deg/2`` rotation
+    and <= ``zoom_band/2`` scale offset. TPU-first equivalent of the
+    reference's 45-degree rotation-bucket warp cache
+    (``stereo_node.py:222-267`` in hmakelin/gisnav), with the bucket width
+    set by the matcher's measured robustness instead of a second warp.
+
+    Same call signature as :func:`make_deep_runner`.
+    """
+    config = config or PRETRAINED_CONFIG
+    if params is None:
+        from gisnav_tpu.weights import load_pretrained
+
+        params = load_pretrained()
+    params = jax.device_put(params)
+    extract = jax.jit(build_warp_reference_extractor(config))
+    hot = jax.jit(build_frame_to_geopose_warpcached(config))
+    counter = {"n": 0}
+    state = {"map_key": None, "ortho": None, "dem": None,
+             "ref_key": None, "feats": None, "dem_crop": None,
+             "m_crop": None}
+
+    def runner(query: np.ndarray, ortho: np.ndarray, dem: np.ndarray,
+               rotation_deg: float, k: np.ndarray,
+               crs_affine: np.ndarray, map_stamp=None,
+               altitude_agl=None) -> GeoPose:
+        shape = ortho.shape[:2]
+        map_key = (shape,
+                   int(map_stamp) if map_stamp is not None else id(ortho))
+        if state["map_key"] != map_key:
+            state["ortho"] = jax.device_put(
+                jnp.asarray(ortho, jnp.float32) / 255.0)
+            state["dem"] = jax.device_put(jnp.asarray(dem, jnp.float32))
+            state["map_key"] = map_key
+            state["ref_key"] = None  # stale bucket features
+        zoom = 1.0
+        map_gsd = float(abs(np.asarray(crs_affine)[2, 2]))
+        if altitude_agl is not None and altitude_agl > 0 and map_gsd > 0:
+            zoom = (float(altitude_agl) / float(np.asarray(k)[0, 0])
+                    ) / map_gsd
+        # quantize: rotation to the nearest bucket center, zoom to the
+        # nearest multiplicative (1 + zoom_band) step
+        bucket = round(float(rotation_deg) / bucket_deg)
+        zstep = np.log1p(zoom_band)
+        zband = round(float(np.log(max(zoom, 1e-6))) / zstep)
+        ref_key = (map_key, bucket, zband)
+        if state["ref_key"] != ref_key:
+            feats, dem_crop, m_crop = extract(
+                params, state["ortho"], state["dem"],
+                jnp.float32(bucket * bucket_deg),
+                jnp.float32(np.exp(zband * zstep)),
+            )
+            state["feats"], state["dem_crop"] = feats, dem_crop
+            state["m_crop"] = m_crop
+            state["ref_key"] = ref_key
+        counter["n"] += 1
+        return hot(
+            params,
+            jnp.asarray(query, jnp.float32) / 255.0,
+            state["feats"],
+            state["dem_crop"],
+            state["m_crop"],
+            jnp.asarray(k, jnp.float32),
+            jnp.asarray(crs_affine, jnp.float32),
+            jax.random.PRNGKey(counter["n"]),
         )
 
     return runner

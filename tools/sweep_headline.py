@@ -134,7 +134,12 @@ def main():
     ap.add_argument("--derotate", action="store_true",
                     help="query-side derotation from the known yaw "
                          "(pipeline/runners.py make_cached_deep_runner)")
-    ap.add_argument("--mode", choices=("cached", "warp"), default="cached",
+    ap.add_argument("--bucket-deg", type=float, default=15.0,
+                    help="warp-bucketed mode: rotation bucket width; "
+                         "sweep yaws at bucket-edge offsets to measure "
+                         "the worst-case residual")
+    ap.add_argument("--mode", choices=("cached", "warp", "warp-bucketed"),
+                    default="cached",
                     help="cached = production HBM-resident map features; "
                          "warp = StereoNode-parity rotate+crop+re-extract "
                          "per frame (make_deep_runner)")
@@ -260,6 +265,11 @@ def main():
     cfg = dataclasses.replace(base_cfg, **overrides)
     if args.mode == "warp":
         runner = make_deep_runner(params, cfg)
+    elif args.mode == "warp-bucketed":
+        from gisnav_tpu.pipeline.runners import make_bucketed_warp_runner
+
+        runner = make_bucketed_warp_runner(params, cfg,
+                                           bucket_deg=args.bucket_deg)
     else:
         runner = make_cached_deep_runner(params, cfg,
                                          derotate=args.derotate)
@@ -291,7 +301,7 @@ def main():
             # (the image-up compass angle, = +yaw for this renderer;
             # nodes/pose_node.py _rotation_deg). The cached derotation path
             # internally inverts it for the query-side warp.
-            rot = yaw if (args.derotate or args.mode == "warp") else 0.0
+            rot = yaw if (args.derotate or args.mode.startswith("warp")) else 0.0
             pose = runner(
                 frame, ortho, dem, rot,
                 k_cam, aff, map_stamp=ai + 1, altitude_agl=alt, **kw,
