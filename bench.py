@@ -1,15 +1,17 @@
 """Headline benchmark: sustained frame->geopose throughput at 1080p, 2048 kp.
 
-Measures the PRODUCTION hot path — warp mode, the configuration that passes
-BOTH gates (round-4 validation: 8/8 yaws <10 m horizontal+vertical, mean
-2.7 m, ``benchmarks/sweep_headline_warp.json``; the reference SITL gate is
-``test/sitl/sitl_px4.py:263-280``). Per frame the fused device program
-rotates+GSD-crops the 2208^2 orthoimage (Pallas 3-shear), runs SuperPoint
-on BOTH views, LightGlue (9 layers, 2048 vs 2048 kp), DEM z-lift,
-RANSAC-PnP and geopose assembly. The cached-reference mode (map features
-extracted once per refresh, HBM-resident — faster but rotation-weaker at
-this resolution) is reported as a secondary figure with its refresh cost
-amortized at one refresh per 32 frames (reference refresh gate:
+Measures the PRODUCTION hot path — BUCKETED warp mode, the configuration
+that passes BOTH gates (round-4 validation: 8/8 yaws <10 m at worst-case
+bucket-edge residual rotations, mean 0.96 m,
+``benchmarks/sweep_headline_bucketed.json``; the reference SITL gate is
+``test/sitl/sitl_px4.py:263-280``). The 2208^2 orthoimage is rotated+
+GSD-cropped (Pallas 3-shear) at a 15-degree-quantized rotation and its
+SuperPoint features cached once per bucket; per frame the fused device
+program runs SuperPoint on the QUERY only, LightGlue (9 layers, 2048 vs
+2048 kp), DEM z-lift, RANSAC-PnP and geopose assembly. Secondary figures:
+exact per-frame warp (dual extraction — the strongest-accuracy mode) and
+the unwarped cached-reference mode, each with refresh costs amortized at
+one refresh per 32 frames (reference refresh gate:
 ``core/gis_node.py:124-128``).
 
 N frames run inside one ``lax.scan`` and a single synchronized execution is
@@ -320,6 +322,71 @@ def main():
         "inliers_per_frame": round(float(c_inl) / frames, 1),
     }
 
+    # -- secondary: BUCKETED warp mode (rotation-bucketed warp cache:
+    # warp-sweep accuracy at cached-mode per-frame cost; accuracy gated at
+    # worst-case bucket-edge yaws in benchmarks/sweep_headline_bucketed.json
+    # and tests/test_warp_bucketed.py) --------------------------------------
+    from gisnav_tpu.pipeline.geopose import (
+        build_frame_to_geopose_warpcached,
+        build_warp_reference_extractor,
+    )
+
+    b_frame_fn = build_frame_to_geopose_warpcached(config_warp)
+    b_extract_fn = build_warp_reference_extractor(config_warp)
+    b_feats, b_dem_crop, b_m_crop = jax.jit(b_extract_fn)(
+        params, w_ortho, w_dem, jnp.float32(-30.0), w_zoom)
+
+    def scan_bucketed(params, ring, feats, dem_crop, m_crop, k, aff, key):
+        def body(carry, i):
+            pose = b_frame_fn(
+                params, ring[i % n_ring], feats, dem_crop, m_crop, k, aff,
+                jax.random.fold_in(key, i),
+            )
+            acc, inl = carry
+            acc = acc + jnp.sum(jnp.nan_to_num(pose.ecef_position))
+            inl = inl + pose.num_inliers.astype(jnp.float32)
+            return (acc, inl), None
+
+        (acc, inl), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            jnp.arange(frames, dtype=jnp.int32))
+        return acc, inl
+
+    b_run = jax.jit(scan_bucketed)
+
+    def scan_b_refresh(params, ortho, dem):
+        def body(carry, i):
+            feats, _, _ = b_extract_fn(
+                params, ortho + carry * 0, dem, jnp.float32(-30.0), w_zoom)
+            return carry + jnp.sum(feats.scores), None
+
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(4, dtype=jnp.int32))[0]
+
+    b_refresh_run = jax.jit(scan_b_refresh)
+    _ = jax.block_until_ready(
+        b_run(params, w_ring, b_feats, b_dem_crop, b_m_crop, k, w_aff,
+              jax.random.PRNGKey(1)))
+    _ = np.asarray(b_refresh_run(params, w_ortho, w_dem))
+    b_times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        b_acc, b_inl = (np.asarray(x) for x in
+                        b_run(params, w_ring, b_feats, b_dem_crop, b_m_crop,
+                              k, w_aff, jax.random.PRNGKey(2 + r)))
+        b_times.append(time.perf_counter() - t0)
+    assert np.isfinite(b_acc)
+    b_per_frame = (float(np.median(b_times)) - rtt) / frames
+    t0 = time.perf_counter()
+    _ = np.asarray(b_refresh_run(params, w_ortho, w_dem))
+    b_refresh_s = (time.perf_counter() - t0 - rtt) / 4.0
+    bucketed_mode = {
+        "fps": round(1.0 / (b_per_frame + b_refresh_s / frames), 2),
+        "p50_latency_ms": round(b_per_frame * 1e3, 2),
+        "bucket_refresh_ms": round(b_refresh_s * 1e3, 2),
+        "inliers_per_frame": round(float(b_inl) / frames, 1),
+    }
+
     # third figure: the SMALL validated config (reference-class 640x480
     # camera): harris_lg5 / 512 kp cached passes 10/10-at-10-m
     # (tests/test_cached_runner.py, tests/test_envelope.py)
@@ -381,30 +448,41 @@ def main():
         except Exception as e:  # never fail the headline metric
             small = {"error": str(e)[:200]}
 
+    b_fps = bucketed_mode["fps"]
     print(json.dumps({
         "metric": "frame_to_geopose_fps_1080p_2048kp",
-        "value": round(fps, 2),
+        "value": b_fps,
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
-        "p50_latency_ms": round(per_frame * 1e3, 2),
-        "mode": "warp",
+        "vs_baseline": round(b_fps / 30.0, 3),
+        "p50_latency_ms": bucketed_mode["p50_latency_ms"],
+        "mode": "warp-bucketed",
         "frames_per_measurement": frames,
         "frame_content": "rendered_world",
-        "inliers_per_frame": round(inliers_per_frame, 1),
+        "inliers_per_frame": bucketed_mode["inliers_per_frame"],
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "weights": weights_name,
-        # the headline config IS the accuracy-validated config (round-4):
-        # warp mode passes 8/8 yaws <10 m on the on-chip
-        # resolution-matched sweep at this exact shape/kp/depth
+        # the headline config IS the accuracy-validated config AND the
+        # production default (round-4): the bucketed warp cache passes 8/8
+        # yaws <10 m at WORST-CASE bucket-edge residual rotations on the
+        # on-chip resolution-matched sweep at this exact shape/kp/depth
         "validated_config": {
-            "config": f"{h}x{w}_{max_kp}kp_lg9_{weights_name}_warp",
+            "config": f"{h}x{w}_{max_kp}kp_lg9_{weights_name}_warp-bucketed",
+            "fps": b_fps,
+            "p50_latency_ms": bucketed_mode["p50_latency_ms"],
+            "accuracy": "8/8 yaws <10 m horiz+vert at worst-case "
+                        "bucket-edge residuals (mean 0.96 m, max 1.49 m) "
+                        "on the on-chip resolution-matched sweep "
+                        "(benchmarks/sweep_headline_bucketed.json); exact "
+                        "warp at the same config: mean 0.73 m "
+                        "(benchmarks/sweep_headline_warp.json)",
+        },
+        "bucketed_warp_mode": bucketed_mode,
+        "warp_exact_mode": {
             "fps": round(fps, 2),
             "p50_latency_ms": round(per_frame * 1e3, 2),
-            "accuracy": "8/8 yaws <10 m horiz+vert (mean 0.73 m, max "
-                        "1.75 m) on the on-chip resolution-matched sweep "
-                        "(benchmarks/sweep_headline_warp.json)",
+            "inliers_per_frame": round(inliers_per_frame, 1),
         },
         "cached_mode": cached_mode,
         "small_config": small,

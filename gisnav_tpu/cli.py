@@ -55,8 +55,11 @@ def build_app(args):
         from gisnav_tpu.weights import load_pretrained
 
         wparams = load_pretrained(args.weights)
-        make = (make_deep_runner if args.deep_mode == "warp"
-                else make_cached_deep_runner)
+        from gisnav_tpu.pipeline.runners import make_bucketed_warp_runner
+
+        make = {"warp": make_deep_runner,
+                "warp-bucketed": make_bucketed_warp_runner}.get(
+            args.deep_mode, make_cached_deep_runner)
         deep_runner = make(params=wparams, config=PRETRAINED_CONFIG)
 
     bus = ShmBus(namespace=args.namespace) if args.shm else LocalBus(
@@ -404,15 +407,19 @@ def main(argv=None) -> int:
     run.add_argument("--weights", default="learned_lg9",
                      help="bundled weight set (learned_lg9 | harris_lg5) "
                           "or a path to an .npz checkpoint; learned_lg9 + "
-                          "warp is the both-gates production default "
-                          "(round-4: 8/8 yaws <10 m AND 47 FPS at "
+                          "warp-bucketed is the both-gates production "
+                          "default (round-4: 8/8 yaws <10 m AND 80 FPS at "
                           "1080p/2048 kp on one v5e chip)")
-    run.add_argument("--deep-mode", choices=("cached", "warp"),
-                     default="warp",
-                     help="warp: per-frame rotate/GSD-crop + dual extract "
-                          "(production default — strongest accuracy); "
-                          "cached: HBM-resident map features (throughput "
-                          "ceiling; rotation-weaker at high resolution)")
+    run.add_argument("--deep-mode",
+                     choices=("cached", "warp", "warp-bucketed"),
+                     default="warp-bucketed",
+                     help="warp-bucketed: 15-degree rotation-bucketed warp "
+                          "cache, query-only per frame (production default "
+                          "- 8/8 yaws <10 m at bucket-edge residuals AND "
+                          "80 FPS at 1080p/2048 kp); warp: exact per-frame "
+                          "rotate/GSD-crop + dual extract (~52 FPS); "
+                          "cached: unwarped HBM-resident map features "
+                          "(rotation-weaker at high resolution)")
     run.add_argument("--ros", action="store_true",
                      help="bridge the bus to ROS 2 topics (needs rclpy)")
     run.add_argument("--params", help="JSON file with per-node parameters")

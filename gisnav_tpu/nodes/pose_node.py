@@ -83,12 +83,23 @@ class PoseNode(Node):
                 # reference-class 640x480 camera in cached mode)
                 wparams, wconfig = load_bundled(
                     self.param("weights", "learned_lg9"))
-                # production default: warp mode — per-frame rotate/GSD-crop
-                # + dual extraction (8/8 yaws <10 m at 1080p/2048 kp, 47
-                # FPS; the path bench.py measures). "cached" keeps map
-                # features HBM-resident between refreshes: ~1.5x faster,
-                # rotation-weaker at high resolution.
-                if self.param("deep_mode", "warp") == "warp":
+                # production default: BUCKETED warp mode — the map crop is
+                # warped at a 15-degree-quantized rotation and its features
+                # cached; per frame only the query extracts (8/8 yaws <10 m
+                # at worst-case bucket-edge residuals AND 80 FPS at
+                # 1080p/2048 kp on one v5e; the headline bench.py measures).
+                # "warp" is the exact per-frame warp (dual extraction,
+                # ~52 FPS); "cached" keeps unwarped map features between
+                # refreshes (fastest, rotation-weaker at high resolution).
+                mode = self.param("deep_mode", "warp-bucketed")
+                if mode == "warp-bucketed":
+                    from gisnav_tpu.pipeline.runners import (
+                        make_bucketed_warp_runner,
+                    )
+
+                    self._deep_runner = make_bucketed_warp_runner(
+                        params=wparams, config=wconfig)
+                elif mode == "warp":
                     self._deep_runner = make_deep_runner(
                         params=wparams, config=wconfig)
                 else:

@@ -104,3 +104,22 @@ def test_bucket_cache_reuse(setup):
     # same bucket -> identical crop affine (cached, not recomputed)
     np.testing.assert_array_equal(np.asarray(p1.m_crop),
                                   np.asarray(p2.m_crop))
+
+
+def test_bucket_edge_survives_cast_shadows(setup, rng):
+    """The production default must keep its appearance robustness with the
+    bucketed cache: the hardest battery scenario (cast shadows between
+    query and map, tests/test_world_appearance.py) at a worst-case
+    bucket-edge yaw must still clear the gate."""
+    from tests.test_world_appearance import _sun_shadows
+
+    bucketed, _, ortho, dem, aff = setup
+    yaw = 3 * BUCKET + BUCKET / 2
+    lon = LON0 + 0.0004 * np.cos(np.radians(yaw))
+    lat = LAT0 + 0.0002 * np.sin(np.radians(yaw))
+    frame = _sun_shadows(ti._render_frame(lon, lat, ALT, yaw), rng)
+    pose = bucketed(frame, ortho, dem, yaw, K_CAM, aff,
+                    map_stamp=9, altitude_agl=ALT)
+    out = geopose_to_wgs84_f64(pose, np.asarray(aff, np.float64))
+    horiz = float(haversine_m(lat, lon, out["lat"], out["lon"]))
+    assert bool(pose.valid) and horiz < 10.0, (horiz, int(pose.num_inliers))
