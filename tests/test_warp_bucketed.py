@@ -123,3 +123,16 @@ def test_bucket_edge_survives_cast_shadows(setup, rng):
     out = geopose_to_wgs84_f64(pose, np.asarray(aff, np.float64))
     horiz = float(haversine_m(lat, lon, out["lat"], out["lon"]))
     assert bool(pose.valid) and horiz < 10.0, (horiz, int(pose.num_inliers))
+
+
+def test_pose_node_default_mode_is_bucketed():
+    """PoseNode(backend=deep) with no deep_mode param wires the bucketed
+    warp runner (the production default the headline bench measures)."""
+    from gisnav_tpu.nodes.bus import LocalBus
+    from gisnav_tpu.nodes.pose_node import PoseNode
+
+    node = PoseNode(LocalBus(), params={
+        "backend": "deep", "weights": "harris_lg5"})
+    assert node._deep_runner is not None
+    assert "make_bucketed_warp_runner" in (
+        node._deep_runner.__qualname__)
