@@ -268,13 +268,21 @@ class RosAdapter:
         if getattr(self, "_closed", False):
             return
         self._closed = True
+        stopped = True
         executor = getattr(self, "_executor", None)
         if executor is not None:
             self._executor = None
-            executor.shutdown(timeout_sec=2.0)
-        destroy = getattr(self.node, "destroy_node", None)
-        if destroy is not None:
-            destroy()
+            # shutdown() returns False when a callback is still executing
+            # at the timeout; destroying the node under a live executor
+            # thread can crash rclpy at teardown, so defer to GC in that
+            # case (the caller joins the spin thread after close())
+            stopped = executor.shutdown(timeout_sec=2.0)
+            if stopped is None:  # older rclpy returns None
+                stopped = True
+        if stopped:
+            destroy = getattr(self.node, "destroy_node", None)
+            if destroy is not None:
+                destroy()
 
 
 def maybe_attach(bus, protocols=("uorb",)) -> Optional["RosAdapter"]:

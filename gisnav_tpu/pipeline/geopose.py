@@ -381,7 +381,11 @@ def build_frame_to_geopose_semidense(config: PipelineConfig):
         mvalid = match.mask
         num_matches = jnp.sum(mvalid).astype(jnp.int32)
 
-        z_scale = crs_affine[2, 2]
+        # z units must match the x/y CROP-pixel units: the GSD zoom makes
+        # 1 crop px = |det m_crop[:2,:2]|^0.5 original px (same reasoning
+        # as build_frame_to_geopose step 4 above)
+        crop_scale = jnp.sqrt(jnp.abs(jnp.linalg.det(m_crop[:2, :2])))
+        z_scale = crs_affine[2, 2] * crop_scale
         dem_m = gather_elevation(dem_crop, mkp_ref)
         obj = jnp.concatenate([mkp_ref, (dem_m / z_scale)[:, None]], axis=1)
 

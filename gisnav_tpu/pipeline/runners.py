@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from collections import OrderedDict
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -34,6 +35,53 @@ from gisnav_tpu.pipeline.geopose import (
 __all__ = ["make_deep_runner", "make_bucketed_warp_runner",
            "make_cached_deep_runner", "make_semidense_runner",
            "PRETRAINED_CONFIG"]
+
+
+def infer_config_from_params(params) -> PipelineConfig:
+    """Infer the PipelineConfig matching a loaded deep-weights tree.
+
+    An explicit ``.npz`` checkpoint path carries no config; pinning
+    ``PRETRAINED_CONFIG`` would crash (param-tree mismatch) or silently run
+    the wrong architecture for a ``learned_lg9``-shaped checkpoint. The
+    architecture is recoverable from the tree itself: LightGlue depth =
+    number of ``self_N`` transformer blocks, detector mode = presence of
+    the SuperPoint detector head (``convPa``).
+    """
+    lg = params.get("lightglue")
+    if lg is None:
+        raise ValueError(
+            "checkpoint has no 'lightglue' params - not a deep-mode bundle "
+            f"(top-level keys: {sorted(params)})")
+    lg_inner = lg.get("params", lg)
+    depth = sum(1 for k in lg_inner if str(k).startswith("self_"))
+    sp = params.get("superpoint", {})
+    sp_inner = sp.get("params", sp)
+    mode = "learned" if "convPa" in sp_inner else "harris"
+    return dataclasses.replace(
+        PRETRAINED_CONFIG,
+        lightglue_depth=depth or PRETRAINED_CONFIG.lightglue_depth,
+        detector_mode=mode,
+    )
+
+
+def _map_identity(ortho, map_stamp) -> object:
+    """Identity key for an orthoimage upload decision.
+
+    ``map_stamp`` (the GISNode refresh stamp) when given; otherwise a
+    content-derived key — buffer address PLUS a strided sample digest.
+    ``id(ortho)`` alone is unsafe: CPython reuses object ids after GC, so
+    a fresh orthoimage could silently alias a stale device-resident map.
+    """
+    if map_stamp is not None:
+        return int(map_stamp)
+    try:
+        addr = ortho.__array_interface__["data"][0]
+    except AttributeError:
+        addr = id(ortho)
+    flat = np.ravel(ortho)
+    step = max(1, flat.size // 64)
+    sample = np.ascontiguousarray(flat[::step][:64])
+    return (addr, sample.tobytes())
 
 
 PRETRAINED_CONFIG = PipelineConfig(
@@ -118,8 +166,7 @@ def make_deep_runner(params=None, config: Optional[PipelineConfig] = None):
         shape = ortho.shape[:2]
         if shape not in cache:
             cache[shape] = jax.jit(fn)
-        map_key = (shape,
-                   int(map_stamp) if map_stamp is not None else id(ortho))
+        map_key = (shape, _map_identity(ortho, map_stamp))
         if state["map_key"] != map_key:
             state["ortho"] = jax.device_put(
                 jnp.asarray(ortho, jnp.float32) / 255.0)
@@ -177,23 +224,27 @@ def make_bucketed_warp_runner(params=None,
     extract = jax.jit(build_warp_reference_extractor(config))
     hot = jax.jit(build_frame_to_geopose_warpcached(config))
     counter = {"n": 0}
-    state = {"map_key": None, "ortho": None, "dem": None,
-             "ref_key": None, "feats": None, "dem_crop": None,
-             "m_crop": None}
+    state = {"map_key": None, "ortho": None, "dem": None}
+    # LRU of recently-used bucket feature sets: heading noise oscillating
+    # across a 15-degree bucket edge (or altitude across a zoom-band edge)
+    # must NOT re-run the full reference warp+extraction on alternate
+    # frames — both neighbors stay HBM-resident (~10-15 MB per entry at
+    # production sizes, so 4 entries is cheap)
+    buckets: "OrderedDict[tuple, tuple]" = OrderedDict()
+    max_buckets = 4
 
     def runner(query: np.ndarray, ortho: np.ndarray, dem: np.ndarray,
                rotation_deg: float, k: np.ndarray,
                crs_affine: np.ndarray, map_stamp=None,
                altitude_agl=None) -> GeoPose:
         shape = ortho.shape[:2]
-        map_key = (shape,
-                   int(map_stamp) if map_stamp is not None else id(ortho))
+        map_key = (shape, _map_identity(ortho, map_stamp))
         if state["map_key"] != map_key:
             state["ortho"] = jax.device_put(
                 jnp.asarray(ortho, jnp.float32) / 255.0)
             state["dem"] = jax.device_put(jnp.asarray(dem, jnp.float32))
             state["map_key"] = map_key
-            state["ref_key"] = None  # stale bucket features
+            buckets.clear()  # stale bucket features
         zoom = 1.0
         map_gsd = float(abs(np.asarray(crs_affine)[2, 2]))
         if altitude_agl is not None and altitude_agl > 0 and map_gsd > 0:
@@ -204,23 +255,26 @@ def make_bucketed_warp_runner(params=None,
         bucket = round(float(rotation_deg) / bucket_deg)
         zstep = np.log1p(zoom_band)
         zband = round(float(np.log(max(zoom, 1e-6))) / zstep)
-        ref_key = (map_key, bucket, zband)
-        if state["ref_key"] != ref_key:
-            feats, dem_crop, m_crop = extract(
+        ref_key = (bucket, zband)
+        if ref_key in buckets:
+            buckets.move_to_end(ref_key)
+        else:
+            entry = extract(
                 params, state["ortho"], state["dem"],
                 jnp.float32(bucket * bucket_deg),
                 jnp.float32(np.exp(zband * zstep)),
             )
-            state["feats"], state["dem_crop"] = feats, dem_crop
-            state["m_crop"] = m_crop
-            state["ref_key"] = ref_key
+            buckets[ref_key] = entry
+            while len(buckets) > max_buckets:
+                buckets.popitem(last=False)
+        feats, dem_crop, m_crop = buckets[ref_key]
         counter["n"] += 1
         return hot(
             params,
             jnp.asarray(query, jnp.float32) / 255.0,
-            state["feats"],
-            state["dem_crop"],
-            state["m_crop"],
+            feats,
+            dem_crop,
+            m_crop,
             jnp.asarray(k, jnp.float32),
             jnp.asarray(crs_affine, jnp.float32),
             jax.random.PRNGKey(counter["n"]),
@@ -337,8 +391,7 @@ def make_cached_deep_runner(params=None,
                crs_affine: np.ndarray, map_stamp=None,
                altitude_agl=None, prior_lonlat=None) -> GeoPose:
         shape = tuple(ortho.shape[:2])
-        map_key = (shape,
-                   int(map_stamp) if map_stamp is not None else id(ortho))
+        map_key = (shape, _map_identity(ortho, map_stamp))
         if state["map_key"] != map_key:
             if shape not in extract_jit:
                 cfg = dataclasses.replace(config, ortho_shape=shape)
