@@ -48,19 +48,22 @@ def build_app(args):
         # explicit .npz path: build the runner here (PoseNode's "weights"
         # param only understands bundled names)
         from gisnav_tpu.pipeline.runners import (
-            PRETRAINED_CONFIG,
+            infer_config_from_params,
+            make_bucketed_warp_runner,
             make_cached_deep_runner,
             make_deep_runner,
         )
         from gisnav_tpu.weights import load_pretrained
 
         wparams = load_pretrained(args.weights)
-        from gisnav_tpu.pipeline.runners import make_bucketed_warp_runner
-
+        # the checkpoint carries its architecture (LightGlue depth,
+        # detector head) — inferring it beats pinning PRETRAINED_CONFIG,
+        # which crashes on a learned_lg9-shaped tree
+        cfg = infer_config_from_params(wparams)
         make = {"warp": make_deep_runner,
                 "warp-bucketed": make_bucketed_warp_runner}.get(
             args.deep_mode, make_cached_deep_runner)
-        deep_runner = make(params=wparams, config=PRETRAINED_CONFIG)
+        deep_runner = make(params=wparams, config=cfg)
 
     bus = ShmBus(namespace=args.namespace) if args.shm else LocalBus(
         async_dispatch=True
@@ -308,6 +311,48 @@ def _cmd_serial(args) -> int:
     return 0
 
 
+def _cmd_gis_serve(args) -> int:
+    """Host the self-contained demo GIS service (WMS + WFS-T).
+
+    Air-gapped equivalent of the reference's MapServer+TinyOWS+PostGIS
+    constellation (``docker/apache/`` in hmakelin/gisnav; production
+    containers live in ``docker/mapserver/``): serves GetMap for the
+    ``imagery``/``dem`` GeoTIFF layers and WFS-T transactions/GetFeature
+    for the mock-GPS track, from one Python process.
+    """
+    import os
+
+    from gisnav_tpu.gis.server import (
+        GisServer,
+        PostGISStore,
+        SQLiteStore,
+        load_layers_from_dir,
+    )
+
+    layers = {}
+    if args.maps:
+        if not os.path.isdir(args.maps):
+            print(f"maps dir {args.maps!r} not found — generate one with "
+                  "tools/make_demo_geotiff.py", file=sys.stderr)
+            return 2
+        layers = load_layers_from_dir(args.maps)
+        if not layers:
+            print(f"no GeoTIFFs under {args.maps!r}/imagery or /dem",
+                  file=sys.stderr)
+            return 2
+    store = PostGISStore(args.pg) if args.pg else SQLiteStore(args.db)
+    server = GisServer(layers=layers, store=store,
+                       host=args.host, port=args.port)
+    print(f"GIS server on :{server.port} — WMS layers "
+          f"[{', '.join(sorted(layers)) or 'none'}], WFS-T store "
+          f"{'postgis' if args.pg else args.db}; Ctrl-C to stop")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
 def _fleet_groups(services, hosts):
     """Group services by execution target.
 
@@ -384,7 +429,7 @@ def _cmd_fleet(args) -> int:
     return max(rcs) if rcs else 0
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="gisnav_tpu")
     try:
         from importlib.metadata import version as _v
@@ -507,6 +552,20 @@ def main(argv=None) -> int:
                         help="shared-memory bus namespace of the graph")
     serial.set_defaults(fn=_cmd_serial)
 
+    gis = sub.add_parser(
+        "gis-serve",
+        help="host the self-contained demo GIS service (WMS + WFS-T)")
+    gis.add_argument("--maps", default=None, metavar="DIR",
+                     help="maps dir with imagery/ and dem/ GeoTIFFs "
+                          "(tools/make_demo_geotiff.py layout)")
+    gis.add_argument("--db", default=":memory:",
+                     help="SQLite path for the WFS-T feature store")
+    gis.add_argument("--pg", default=None, metavar="DSN",
+                     help="PostGIS DSN (overrides --db; production wiring)")
+    gis.add_argument("--host", default="0.0.0.0")
+    gis.add_argument("--port", type=int, default=8080)
+    gis.set_defaults(fn=_cmd_gis_serve)
+
     import os as _os
 
     fleet = sub.add_parser(
@@ -530,7 +589,11 @@ def main(argv=None) -> int:
                             "e.g. --extra=-d)")
     fleet.set_defaults(fn=_cmd_fleet)
 
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 

@@ -141,27 +141,43 @@ class AgreementRow:
 @dataclass
 class AgreementReport:
     rows: List[AgreementRow] = field(default_factory=list)
+    # row index at which the simulated GPS was failed (`failure gps off`);
+    # None = no injection. Rows from this index on were produced while the
+    # vehicle navigated on the mock GPS ALONE — the product's actual claim.
+    outage_start_idx: Optional[int] = None
 
     @property
     def pass_fraction(self) -> float:
         return (sum(r.ok for r in self.rows) / len(self.rows)
                 if self.rows else 0.0)
 
+    def mark_gps_outage(self) -> None:
+        self.outage_start_idx = len(self.rows)
+
     def summary(self) -> dict:
+        summary = self._stats(self.rows)
+        summary["gate"] = {"horizontal_m": HORIZONTAL_GATE_M,
+                           "vertical_m": VERTICAL_GATE_M}
+        if self.outage_start_idx is not None:
+            summary["gps_outage"] = self._stats(
+                self.rows[self.outage_start_idx:])
+        return summary
+
+    @staticmethod
+    def _stats(rows: List[AgreementRow]) -> dict:
         import numpy as np
 
-        horiz = [r.horiz_m for r in self.rows]
-        vert = [r.vert_m for r in self.rows]
+        horiz = [r.horiz_m for r in rows]
+        vert = [r.vert_m for r in rows]
+        n_ok = sum(r.ok for r in rows)
         return {
-            "messages": len(self.rows),
-            "pass_10m": sum(r.ok for r in self.rows),
-            "pass_fraction": round(self.pass_fraction, 4),
+            "messages": len(rows),
+            "pass_10m": n_ok,
+            "pass_fraction": round(n_ok / len(rows), 4) if rows else 0.0,
             "mean_horiz_m": round(float(np.mean(horiz)), 2) if horiz else None,
             "max_horiz_m": round(float(np.max(horiz)), 2) if horiz else None,
             "mean_vert_m": round(float(np.mean(vert)), 2) if vert else None,
             "max_vert_m": round(float(np.max(vert)), 2) if vert else None,
-            "gate": {"horizontal_m": HORIZONTAL_GATE_M,
-                     "vertical_m": VERTICAL_GATE_M},
         }
 
 
@@ -223,13 +239,47 @@ class GpsAgreementMonitor:
         self.node.destroy_node()
 
 
+async def inject_gps_failure(drone, monitor: GpsAgreementMonitor) -> bool:
+    """Turn the simulated GNSS off mid-flight (the product demo).
+
+    Automates the reference's manual procedure (``README.md:70-76`` in
+    hmakelin/gisnav: type ``failure gps off`` into the PX4 shell while the
+    mission flies; the vehicle must continue on GISNav's mock GPS alone).
+    Primary path is MAVSDK's failure plugin (the MAVLink equivalent of the
+    pxh command); the mavlink-shell command is the fallback for PX4 builds
+    without the failure plugin compiled in. Returns True when an injection
+    path succeeded; the agreement report is marked so rows from this point
+    are gated separately as the GNSS-denied window.
+    """
+    try:
+        from mavsdk.failure import FailureType, FailureUnit
+
+        await drone.failure.inject(FailureUnit.SENSOR_GPS,
+                                   FailureType.OFF, instance=0)
+        monitor.report.mark_gps_outage()
+        return True
+    except Exception:
+        pass
+    try:  # fallback: the literal demo command over the mavlink shell
+        await drone.shell.send("failure gps off")
+        monitor.report.mark_gps_outage()
+        return True
+    except Exception:
+        return False
+
+
 async def fly_mission(monitor: GpsAgreementMonitor,
-                      plan_path: str = MISSION_PLAN) -> None:
+                      plan_path: str = MISSION_PLAN,
+                      gps_failure_at: Optional[float] = 0.4) -> None:
     """Connect, upload the plan, arm, fly it to completion.
 
     The monitor is spun between progress polls so agreement rows accrue
     throughout the flight (the reference nests a blocking ``rclpy.spin``
     inside the progress loop; interleaving keeps this single-threaded).
+
+    :param gps_failure_at: mission-progress fraction at which to fail the
+        simulated GNSS (``failure gps off``) and continue on mock GPS
+        alone — the GNSS-denied product demo. None disables injection.
     """
     import asyncio
 
@@ -239,6 +289,14 @@ async def fly_mission(monitor: GpsAgreementMonitor,
     await asyncio.wait_for(_connect(drone),
                            timeout=MAVLINK_CONNECT_TIMEOUT_S)
     poll_wms()
+
+    if gps_failure_at is not None:
+        # PX4 rejects MAVLink failure injection unless SYS_FAILURE_EN is
+        # set; do it before arming (same knob the manual pxh demo needs)
+        try:
+            await drone.param.set_param_int("SYS_FAILURE_EN", 1)
+        except Exception:
+            pass  # fall through; injection will use the shell path
 
     imported = await drone.mission_raw.import_qgroundcontrol_mission(
         plan_path)
@@ -250,9 +308,14 @@ async def fly_mission(monitor: GpsAgreementMonitor,
     await drone.action.arm()
     await drone.mission_raw.start_mission()
 
+    injected = gps_failure_at is None
     deadline = time.monotonic() + MISSION_TIMEOUT_S
     async for progress in drone.mission.mission_progress():
         monitor.spin_some(1.0)
+        if (not injected and progress.total_mission_items > 0
+                and progress.current_item_index
+                >= gps_failure_at * progress.total_mission_items):
+            injected = await inject_gps_failure(drone, monitor)
         if progress.current_item_index >= progress.total_mission_items:
             return
         if time.monotonic() > deadline:
@@ -284,19 +347,24 @@ async def _wait_healthy(drone) -> None:
 
 
 def run_sitl_test(out_path: Optional[str] = None,
-                  min_pass_fraction: float = 0.9) -> dict:
+                  min_pass_fraction: float = 0.9,
+                  gps_failure_at: Optional[float] = 0.4) -> dict:
     """The full end-to-end test; returns the agreement summary dict.
 
     Raises AssertionError when fewer than ``min_pass_fraction`` of the
     mock-GPS fixes agree with truth inside the 10 m gate, or when no fixes
-    arrived at all (a silent pipeline is a failure, not a pass).
+    arrived at all (a silent pipeline is a failure, not a pass). With GPS
+    failure injection enabled (default, at 40% mission progress), the same
+    gate is additionally applied to the GNSS-denied window alone, and the
+    mission completing at all proves the continuation — the reference's
+    manual ``failure gps off`` demo as an automated assertion.
     """
     import asyncio
 
     with SitlEnvironment():
         monitor = GpsAgreementMonitor()
         try:
-            asyncio.run(fly_mission(monitor))
+            asyncio.run(fly_mission(monitor, gps_failure_at=gps_failure_at))
             monitor.spin_some(5.0)  # drain in-flight messages
         finally:
             monitor.close()
@@ -309,6 +377,16 @@ def run_sitl_test(out_path: Optional[str] = None,
         "no mock GPS fixes observed during the mission"
     assert summary["pass_fraction"] >= min_pass_fraction, \
         f"GPS agreement gate failed: {summary}"
+    if gps_failure_at is not None:
+        outage = summary.get("gps_outage")
+        assert outage is not None, \
+            "GPS failure injection never fired (no failure plugin AND no " \
+            "mavlink shell?) — the GNSS-denied demo was not exercised"
+        assert outage["messages"] > 0, \
+            "no mock GPS fixes during the GNSS outage — the pipeline " \
+            "stopped publishing exactly when it mattered"
+        assert outage["pass_fraction"] >= min_pass_fraction, \
+            f"GNSS-denied agreement gate failed: {outage}"
     return summary
 
 

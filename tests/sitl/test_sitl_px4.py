@@ -89,6 +89,25 @@ def test_empty_report_is_a_failure_not_a_pass():
     assert driver.AgreementReport().pass_fraction == 0.0
 
 
+def test_gps_outage_window_is_gated_separately():
+    """Rows after mark_gps_outage() form the GNSS-denied gate window."""
+    report = driver.AgreementReport()
+    report.rows.append(driver.AgreementRow(t_us=0, horiz_m=1.0, vert_m=1.0))
+    report.rows.append(driver.AgreementRow(t_us=1, horiz_m=99.0, vert_m=0.0))
+    report.mark_gps_outage()
+    report.rows.append(driver.AgreementRow(t_us=2, horiz_m=2.0, vert_m=2.0))
+    report.rows.append(driver.AgreementRow(t_us=3, horiz_m=3.0, vert_m=3.0))
+    summary = report.summary()
+    assert summary["messages"] == 4
+    outage = summary["gps_outage"]
+    assert outage["messages"] == 2
+    assert outage["pass_fraction"] == 1.0
+    assert outage["max_horiz_m"] == 3.0
+    # no injection -> no outage block (run_sitl_test then requires none)
+    assert "gps_outage" not in driver.AgreementReport(
+        rows=report.rows[:1]).summary()
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(driver.sitl_available() is not None,
                     reason=f"SITL: {driver.sitl_available()}")
