@@ -19,9 +19,15 @@ from gisnav_tpu.nodes.mock_gps import TOPIC_SENSOR_GPS
 pytestmark = pytest.mark.slow
 
 
-def _fly(wms_url, profile, ground_alt_m=0.0, dem_value=0, pose_params=None):
+def _fly(wms_url, profile, ground_alt_m=0.0, dem_value=0, pose_params=None,
+         ortho_stamps=None):
     """Run the full graph over ``profile`` = [(lon, lat, alt_ellipsoid_m,
-    yaw_deg), ...]; returns (fixes, truth_by_stamp)."""
+    yaw_deg), ...]; returns (fixes, truth_by_stamp).
+
+    :param ortho_stamps: optional list; collects the stamp of every
+        orthoimage publish so tests can count WMS refreshes (distinct
+        stamps = maps crossed).
+    """
     from gisnav_tpu.gis import WMSClient
 
     ti._DEM_VALUE[0] = dem_value
@@ -44,6 +50,11 @@ def _fly(wms_url, profile, ground_alt_m=0.0, dem_value=0, pose_params=None):
         )
         fixes = []
         app.bus.subscribe(TOPIC_SENSOR_GPS, fixes.append)
+        if ortho_stamps is not None:
+            from gisnav_tpu.nodes.gis_node import TOPIC_ORTHOIMAGE
+
+            app.bus.subscribe(TOPIC_ORTHOIMAGE,
+                              lambda m: ortho_stamps.append(m["stamp_us"]))
         app.bus.publish("/camera/camera_info",
                         {"k": ti.K_CAM, "width": 640, "height": 480})
 
@@ -193,6 +204,46 @@ class TestEnvelope:
         # errors stay bounded and do not blow up with altitude
         for alt, (h, v) in envelope.items():
             assert h < 8.0 and v < 8.0, (alt, h, v)
+
+    def test_map_refresh_continuity_bucketed(self, wms_url):
+        """PRODUCTION-CONFIG continuity across WMS refresh boundaries.
+
+        VERDICT r4 item 7: fly far enough that the 0.85-overlap gate fires
+        at least twice (>= 3 distinct map stamps) in warp-bucketed mode,
+        with the heading oscillating across a 15-degree bucket edge — the
+        worst case for the bucket cache (map churn x bucket churn). The
+        bucketed runner keys bucket features on the map stamp
+        (pipeline/runners.py make_bucketed_warp_runner clears the LRU on a
+        new map); a stale-bucket reuse across stamps would localize
+        against the PREVIOUS map and blow the 10 m gate immediately at
+        ~60 m/step, so the per-fix gate doubles as the staleness probe.
+        """
+        lat0, lon0 = 60.02, 24.015
+        # 22.5 deg is the edge between the 15- and 30-deg buckets
+        # (bucket_deg=15); +/-1.5 deg oscillation re-crosses it every step
+        profile = [
+            (_east(lon0, 60.0 * i), lat0, ti.ALT_M,
+             22.5 + 1.5 * (-1) ** i)
+            for i in range(24)
+        ]
+        stamps = []
+        fixes, truth = _fly(
+            wms_url, profile,
+            pose_params={"backend": "deep", "deep_mode": "warp-bucketed"},
+            ortho_stamps=stamps,
+        )
+        n_maps = len(set(stamps))
+        assert n_maps >= 3, (
+            f"track crossed only {n_maps} map(s) — the refresh gate never "
+            "fired twice; lengthen the track")
+        _gate(fixes, truth, n_min=12)
+        # continuity: fixes must keep flowing AFTER the last refresh (a
+        # stale device-resident map would still produce fixes — but the
+        # 10 m gate above would have caught those; silence here would mean
+        # the refresh stalled the pipeline)
+        last_refresh = max(set(stamps), key=lambda s: s)
+        assert any(f["timestamp_sample"] > last_refresh for f in fixes), \
+            "no fixes after the final map refresh"
 
 
 # reuse the module-scoped stub WMS server
