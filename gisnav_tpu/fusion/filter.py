@@ -9,7 +9,6 @@ fixed output rate, and sensor timeouts.
 from __future__ import annotations
 
 import dataclasses
-import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -27,6 +26,7 @@ from gisnav_tpu.geometry.quaternion import (
     quat_to_euler,
     quat_to_matrix,
 )
+from gisnav_tpu.utils.devlock import device_lock
 
 __all__ = ["SensorConfig", "PoseFusionFilter"]
 
@@ -101,8 +101,13 @@ class PoseFusionFilter:
         # submit/state_at run on different bus worker threads plus the
         # fixed-rate output timer; the (x, P) read-modify-write must be
         # atomic — a torn pair NaNs the filter within seconds of flight
-        # (jitted kernels release the GIL, so the race is real)
-        self._mutex = threading.RLock()
+        # (jitted kernels release the GIL, so the race is real). The mutex
+        # is the PROCESS-WIDE device lock, not a private one: the jitted
+        # EKF/UKF kernels dispatch JAX, and concurrent first-touch
+        # tracing/lowering from another node thread corrupts jax's MLIR
+        # lowering cache (see utils/devlock.py). One shared RLock also
+        # removes lock-ordering hazards with handlers that already hold it.
+        self._mutex = device_lock
         self._reset_after_s = float(reset_after_s)
 
     @property
@@ -169,6 +174,26 @@ class PoseFusionFilter:
 
     def _submit_locked(self, cfg, sensor, stamp_us, position, quat_xyzw,
                        r_diag, mask) -> None:
+        if self._state is not None and not (
+                np.all(np.isfinite(np.asarray(self._state.x)))
+                and np.all(np.isfinite(np.asarray(self._state.p)))):
+            # divergence self-heal (robot_localization is likewise reset on
+            # divergence): a NaN state otherwise persists forever — every
+            # update propagates it — freezing the map->odom anchor at its
+            # last (possibly transient-erroneous) value while odometry keeps
+            # flowing. Observed: the global UKF NaN'd ~76 s into the CLI
+            # e2e hover (sigma points through the euler-rate trig during
+            # the wide-covariance convergence transient) and every later
+            # fix replayed a stale 10.4 m offset. Drop the state; the next
+            # absolute measurement re-seeds it below.
+            import logging
+
+            logging.getLogger("gisnav_tpu.fusion").warning(
+                "non-finite filter state at %d; resetting for re-seed",
+                stamp_us)
+            self._state = None
+            self._stamp_us = None
+            self._prev_pose.clear()
         if self._state is None:
             if cfg.differential:
                 # differential sensors cannot initialize an absolute state

@@ -65,6 +65,7 @@ class LocalBus:
                 import queue
 
                 q: "queue.Queue" = queue.Queue(maxsize=4)
+                started = [False]
 
                 def worker():
                     while True:
@@ -78,11 +79,19 @@ class LocalBus:
 
                             traceback.print_exc()
 
-                t = threading.Thread(target=worker, daemon=True)
-                t.start()
-                self._workers.append((q, t))
-
                 def enqueue(msg, q=q):
+                    # lazy worker start: a graph that is built but never
+                    # driven (construction tests, dry runs) spawns no
+                    # threads — unclosed built-only apps used to leak one
+                    # idle worker per subscription
+                    if not started[0]:
+                        with self._lock:
+                            if not started[0]:
+                                t = threading.Thread(target=worker,
+                                                     daemon=True)
+                                t.start()
+                                self._workers.append((q, t))
+                                started[0] = True
                     try:
                         q.put_nowait(msg)
                     except Exception:

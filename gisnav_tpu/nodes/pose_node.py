@@ -33,6 +33,7 @@ from gisnav_tpu.nodes.gis_node import TOPIC_ORTHOIMAGE
 from gisnav_tpu.pipeline import PipelineConfig
 from gisnav_tpu.pipeline.classical import classical_frame_to_geopose
 from gisnav_tpu.pipeline.geopose import geopose_to_wgs84_f64
+from gisnav_tpu.utils.devlock import device_lock
 
 __all__ = ["PoseNode", "TOPIC_POSE"]
 
@@ -202,32 +203,33 @@ class PoseNode(Node):
         aff = proj_to_affine(self._ortho["crs"])
         aff4 = np.eye(4)
         aff4[:3, :] = aff
-        if self._deep_runner is not None:
-            kw = {}
-            if self._runner_takes_map_stamp:
-                kw["map_stamp"] = self._ortho.get("stamp_us")
-            if self._runner_takes_altitude:
-                kw["altitude_agl"] = self._altitude_agl
-            if self._runner_takes_prior:
-                kw["prior_lonlat"] = self._prior_lonlat
-            geopose = self._deep_runner(
-                query, self._ortho["image"], self._ortho["dem"],
-                self._rotation_deg(), self._camera_info["k"], aff4, **kw,
-            )
-        else:
-            geopose = classical_frame_to_geopose(
-                query,
-                self._ortho["image"],
-                self._ortho["dem"],
-                self._rotation_deg(),
-                self._camera_info["k"],
-                aff4,
-                self._config,
-            )
-        if not bool(geopose.valid):
-            self.log.debug("no valid pose (%d matches)",
-                           int(geopose.num_matches))
-            return None
+        with device_lock:
+            if self._deep_runner is not None:
+                kw = {}
+                if self._runner_takes_map_stamp:
+                    kw["map_stamp"] = self._ortho.get("stamp_us")
+                if self._runner_takes_altitude:
+                    kw["altitude_agl"] = self._altitude_agl
+                if self._runner_takes_prior:
+                    kw["prior_lonlat"] = self._prior_lonlat
+                geopose = self._deep_runner(
+                    query, self._ortho["image"], self._ortho["dem"],
+                    self._rotation_deg(), self._camera_info["k"], aff4, **kw,
+                )
+            else:
+                geopose = classical_frame_to_geopose(
+                    query,
+                    self._ortho["image"],
+                    self._ortho["dem"],
+                    self._rotation_deg(),
+                    self._camera_info["k"],
+                    aff4,
+                    self._config,
+                )
+            if not bool(geopose.valid):
+                self.log.debug("no valid pose (%d matches)",
+                               int(geopose.num_matches))
+                return None
 
         if self.param("dev_topics", False):
             self._publish_dev_images(image_msg, geopose)

@@ -27,6 +27,7 @@ from gisnav_tpu.geometry.se3 import compose, make_transform
 from gisnav_tpu.matching.mnn import mnn_ratio_match
 from gisnav_tpu.nodes.base import Node
 from gisnav_tpu.pnp.ransac import ransac_pnp
+from gisnav_tpu.utils.devlock import device_lock
 
 __all__ = ["TwistNode", "TOPIC_TWIST_POSE"]
 
@@ -152,28 +153,29 @@ class TwistNode(Node):
         its own image plane (so one pixel equals ``d / fx`` meters on the
         ground — the reference's hfov scaling, ``twist_node.py:356-404``).
         """
-        matches, _ = mnn_ratio_match(
-            jnp.asarray(cur.descriptors), jnp.asarray(prev.descriptors),
-            jnp.asarray(cur.mask), jnp.asarray(prev.mask),
-            ratio=self.RATIO, mutual=False,
-        )
-        matches = np.asarray(matches)
-        valid = matches >= 0
-        if valid.sum() < self.MIN_MATCHES:
-            return None
+        with device_lock:
+            matches, _ = mnn_ratio_match(
+                jnp.asarray(cur.descriptors), jnp.asarray(prev.descriptors),
+                jnp.asarray(cur.mask), jnp.asarray(prev.mask),
+                ratio=self.RATIO, mutual=False,
+            )
+            matches = np.asarray(matches)
+            valid = matches >= 0
+            if valid.sum() < self.MIN_MATCHES:
+                return None
 
-        k = np.asarray(self._camera_info["k"], np.float64).reshape(3, 3)
-        obj = np.zeros((len(matches), 3), np.float32)
-        obj[:, :2] = prev.keypoints[np.clip(matches, 0, None)]
-        res = ransac_pnp(
-            jnp.asarray(obj), jnp.asarray(cur.keypoints),
-            jnp.asarray(k, jnp.float32), jnp.asarray(valid),
-            min_inliers=self.MIN_MATCHES,
-        )
-        if not bool(res.valid):
-            return None
-        r = np.asarray(res.r, np.float64)
-        t = np.asarray(res.t, np.float64)
+            k = np.asarray(self._camera_info["k"], np.float64).reshape(3, 3)
+            obj = np.zeros((len(matches), 3), np.float32)
+            obj[:, :2] = prev.keypoints[np.clip(matches, 0, None)]
+            res = ransac_pnp(
+                jnp.asarray(obj), jnp.asarray(cur.keypoints),
+                jnp.asarray(k, jnp.float32), jnp.asarray(valid),
+                min_inliers=self.MIN_MATCHES,
+            )
+            if not bool(res.valid):
+                return None
+            r = np.asarray(res.r, np.float64)
+            t = np.asarray(res.t, np.float64)
 
         fx = k[0, 0]
         cx, cy = k[0, 2], k[1, 2]

@@ -48,9 +48,33 @@ def cache_dir() -> str:
     return f"/tmp/gisnav_tpu_jit_cache_{_host_key()}"
 
 
-def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
-    """Point jax at the per-host cache; returns the directory used."""
+def enable_persistent_cache(min_compile_secs: float = 1.0) -> str | None:
+    """Point jax at the per-host cache; returns the directory used.
+
+    Returns ``None`` — cache left DISABLED — on the CPU backend: XLA:CPU AOT
+    cache entries are not reliably reloadable on this host class. Two
+    distinct failure modes were isolated from nondeterministic cold-suite
+    SIGSEGV/SIGABRT crashes (round 5):
+
+    1. XLA bakes model-tuning pseudo-features into the AOT target
+       (``+prefer-no-scatter``/``+prefer-no-gather`` on AVX512 parts with
+       slow gathers) that the loader's host probe never reports, so entries
+       written BY THE SAME HOST are rejected on every reload (minimal
+       two-process repro: ``cpu_aot_loader.cc`` errors on a cached matmul).
+       Capping codegen at ``--xla_cpu_max_isa=AVX2`` removes those features
+       and silences the loader — per-host cache keying alone cannot.
+    2. Even with the cap (zero loader errors), a cold full-suite run
+       aborted inside executable deserialization
+       (``compilation_cache.get_executable_and_time``) when a later test
+       reloaded a pipeline-sized entry persisted minutes earlier in the
+       same run.
+
+    The in-memory jit cache still dedups within a process; TPU executables
+    reload cleanly and keep the multi-minute 1080p compile skip."""
     import jax
+
+    if jax.default_backend() == "cpu":
+        return None
 
     path = cache_dir()
     os.makedirs(path, exist_ok=True)

@@ -16,9 +16,8 @@ _TPU_PARITY = bool(os.environ.get("GISNAV_TPU_PARITY"))
 if not _TPU_PARITY:
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
-        os.environ["XLA_FLAGS"] = (
-            _flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

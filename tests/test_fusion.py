@@ -151,6 +151,37 @@ class TestPoseFusionFilter:
         out = f.state_at(t)
         assert np.isclose(out["velocity_body"][0], 2.0, atol=0.5)
 
+    def test_nonfinite_state_self_heals(self):
+        """A diverged (NaN) state must re-seed from the next absolute
+        measurement, not poison every subsequent update: without the reset
+        the map->odom anchor freezes at its last pre-divergence value and
+        every later fix replays a stale offset (observed 10.4 m in the CLI
+        e2e hover when the global UKF NaN'd mid-transient)."""
+        import dataclasses
+
+        f = PoseFusionFilter({"deep": SensorConfig(),
+                              "vo": SensorConfig(differential=True)})
+        f.submit("deep", 1_000_000, np.array([1.0, 2.0, 100.0]),
+                 euler_to_quat(0, 0, 0))
+        # poison the state as a covariance blow-up / singular update would
+        bad_x = np.asarray(f._state.x).copy()
+        bad_x[3] = np.nan
+        f._state = dataclasses.replace(
+            f._state, x=type(f._state.x)(bad_x)
+        ) if dataclasses.is_dataclass(f._state) else f._state._replace(
+            x=bad_x)
+        f.submit("deep", 2_000_000, np.array([3.0, 4.0, 100.0]),
+                 euler_to_quat(0, 0, 0))
+        est = f.state_at(2_000_000)
+        assert est is not None
+        assert np.all(np.isfinite(est["position"]))
+        assert np.allclose(est["position"], [3.0, 4.0, 100.0], atol=1e-3)
+        # differential sensors re-arm too (prev pair cleared on reset)
+        f.submit("vo", 2_500_000, np.array([3.5, 4.0, 100.0]),
+                 euler_to_quat(0, 0, 0))
+        est = f.state_at(2_500_000)
+        assert np.all(np.isfinite(est["position"]))
+
     def test_stale_measurements_dropped(self):
         f = PoseFusionFilter({"deep": SensorConfig()})
         q = euler_to_quat(0, 0, 0)
