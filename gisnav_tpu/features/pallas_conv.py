@@ -372,7 +372,7 @@ def conv_stage_pallas(
         kernel,
         grid=(n_rows, n_cols),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -471,17 +471,27 @@ def _stem_im2col(img: jnp.ndarray, lp: int, wq_tot: int,
                  compute_dtype) -> jnp.ndarray:
     """Transposed (12->16)-tap patch tensor: P[(dy+1)*4 + d, r*wq_tot + q]
     = img(r - 2 + dy, 2*(q - lp) + d - 1), zero outside the image. Taps
-    live in sublanes so tile DMAs are plain 128-aligned lane slices."""
+    live in sublanes so tile DMAs are plain 128-aligned lane slices.
+
+    Built from exactly TWO strided lane de-interleaves (the even/odd pixel
+    phases) plus one unaligned lane shift each; the 12 taps are then plain
+    row-shifted views. The previous per-tap ``rows[:, d::2]`` form paid the
+    expensive strided relayout 12 times."""
     h, w = img.shape
     imgp = jnp.zeros((h + 6, 2 * wq_tot + 2), compute_dtype)
     imgp = imgp.at[3:h + 3, 2 * lp + 1:2 * lp + 1 + w].set(
         img.astype(compute_dtype)
     )
+    # pixel phases: ph[d][row, q] = imgp[row, 2q + d] for d in 0..3
+    # (d=2,3 are the d=0,1 phases advanced one pair = one lane shift)
+    ph0 = imgp[:, 0::2]  # (h + 6, wq_tot + 1)
+    ph1 = imgp[:, 1::2]
+    ph = (ph0[:, :wq_tot], ph1[:, :wq_tot],
+          ph0[:, 1:wq_tot + 1], ph1[:, 1:wq_tot + 1])
     taps = []
     for dy in (-1, 0, 1):
-        rows = imgp[1 + dy:1 + dy + h + 4]
         for d in range(4):
-            taps.append(rows[:, d::2][:, :wq_tot].reshape(-1))
+            taps.append(ph[d][1 + dy:1 + dy + h + 4].reshape(-1))
     p = jnp.stack(taps, axis=0)  # (12, (h + 4) * wq_tot)
     return jnp.pad(p, ((0, 4), (0, 0)))
 
@@ -610,7 +620,7 @@ def stem_stage_pallas(
         kernel,
         grid=(n_rows,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # P stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # P stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

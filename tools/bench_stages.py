@@ -117,6 +117,20 @@ def main():
             print(f"{name:30s} {ms:7.3f} ms  {tf:6.1f} TF/s")
         print(f"{'TRUNK TOTAL':30s} {total:7.3f} ms")
 
+    if args.what in ("stem-detail", "all"):
+        from gisnav_tpu.features.pallas_conv import (
+            _stem_geometry,
+            _stem_im2col,
+        )
+
+        geo = _stem_geometry(h, w)
+        if geo is not None:
+            _, lp, wq_tot = geo
+            ms = _timed(
+                lambda v: _stem_im2col(v, lp, wq_tot, jnp.bfloat16).sum(),
+                img, reps=args.reps, inner=args.inner)
+            print(f"{'  stem im2col (XLA side)':30s} {ms:7.3f} ms")
+
     if args.what in ("lightglue", "all"):
         bench_lightglue(args, rng)
 
