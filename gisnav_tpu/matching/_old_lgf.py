@@ -17,19 +17,10 @@ checkpoints load unchanged) as nine fused transformer layers:
   updated (K, 256) activations return to HBM.
 - **2D activations everywhere**: heads are static 64-lane slices inside the
   kernel, never a separate array axis, so the XLA-level transposes vanish.
-- **rotary entirely via weight permutation**: the Wqkv kernel is expanded
-  column-wise into ``[q, swap(q), k, swap(k), v]`` (one (K, 5*dim) matmul)
-  using ``swap(x @ W + b) == x @ (W P) + b P`` — the rotary rotation is then
-  two elementwise multiply-adds with NO activation relayout at all (the
-  earlier 32-lane block swap still cost a flip/reshape relayout per q/k per
-  layer, ~0.95 ms/frame of glue at 2048x2048x9).
-- **dual-batched blocks**: when both sets have the same keypoint count (all
-  production modes), the two residual streams stay CONCATENATED through the
-  whole forward and each self/cross stage is ONE Mosaic call over a
-  (2K, dim) stream — 18 kernel launches instead of 36, one glue matmul per
-  stage instead of two/four — with the per-block key set selected by the
-  grid index (query blocks in the first half attend set-0 keys, second half
-  set-1).
+- **rotary via weight permutation**: the Wqkv columns are permuted once per
+  call so each head's q/k lanes hold [even pairs | odd pairs]; the rotary
+  rotation is then plain elementwise math plus one 32-lane block swap
+  (no strided even/odd deinterleave of activations).
 
 Backward (training on TPU) recomputes each block through an XLA reference
 implementation via ``jax.custom_vjp`` — same pattern as features/pallas_conv.
@@ -140,51 +131,34 @@ def _block_kernel(heads, dh, scale, gelu_approximate, x_ref, q_ref, k_ref,
 
 
 def _block_pallas(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
-                  w2, b2, *, heads: int, gelu_approximate: bool = True,
-                  sets: int = 1, cross: bool = False):
+                  w2, b2, *, heads: int, gelu_approximate: bool = True):
     """One fused transformer block: x + FFN([x | out_proj(attn(q, k, v))]).
 
-    :param x: (sets*Kq, dim) f32 residual stream(s)
-    :param q: (sets*Kq, dim) bf16 (rotated) queries, head h at lanes
-        [h*dh, ...)
-    :param k, v: (sets*Kk, dim) bf16 keys / values, same head layout; with
-        ``sets=2`` query rows of set s attend ONLY the (Kk, dim) key half s
-        (block-indexed by the grid — one kernel launch serves both streams)
-    :param bias_k: (sets, Kk) f32 additive key mask (0 / -1e9)
-    :param cross: with ``sets=2``, query set s attends key half ``1 - s``
-        instead — the bidirectional cross stage rides the INDEX MAP (an XOR
-        on the grid index) so no concatenated/swapped key copies are ever
-        materialized
-    :return: (sets*Kq, dim) f32
+    :param x: (Kq, dim) f32 residual stream
+    :param q: (Kq, dim) bf16 (rotated) queries, head h at lanes [h*dh, ...)
+    :param k, v: (Kk, dim) bf16 keys / values, same head layout
+    :param bias_k: (1, Kk) f32 additive key mask (0 / -1e9)
+    :return: (Kq, dim) f32
     """
-    kq_tot, dim = x.shape
-    kk = k.shape[0] // sets
+    kq, dim = x.shape
+    kk = k.shape[0]
     dh = dim // heads
     scale = 1.0 / float(dh) ** 0.5
-    nb = (kq_tot // sets) // _BLK_Q  # query blocks per set
 
     kernel = functools.partial(_block_kernel, heads, dh, scale,
                                gelu_approximate)
     const = lambda i: (0, 0)  # noqa: E731
-    xr = 1 if cross else 0
-    per_set = (lambda i: ((i // nb) ^ xr, 0)) if sets > 1 else const
-    # the per-set bias rides the LANE axis — (1, sets*kk) with a lane-block
-    # index map — because a (1, kk) block over a (sets, kk) array violates
-    # the Mosaic sublane rule (block dim 1 is neither 8-divisible nor equal
-    # to the array dim when sets == 2)
-    bias_flat = bias_k.reshape(1, sets * kk)
-    per_set_lane = (lambda i: (0, (i // nb) ^ xr)) if sets > 1 else const
     return pl.pallas_call(
         kernel,
-        grid=(kq_tot // _BLK_Q,),
+        grid=(kq // _BLK_Q,),
         in_specs=[
             pl.BlockSpec((_BLK_Q, dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # x
             pl.BlockSpec((_BLK_Q, dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # q
-            pl.BlockSpec((kk, dim), per_set, memory_space=pltpu.VMEM),  # k
-            pl.BlockSpec((kk, dim), per_set, memory_space=pltpu.VMEM),  # v
-            pl.BlockSpec((1, kk), per_set_lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kk, dim), const, memory_space=pltpu.VMEM),  # k
+            pl.BlockSpec((kk, dim), const, memory_space=pltpu.VMEM),  # v
+            pl.BlockSpec((1, kk), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, dim), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, 2 * dim), const, memory_space=pltpu.VMEM),
@@ -197,16 +171,16 @@ def _block_pallas(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
         ],
         out_specs=pl.BlockSpec((_BLK_Q, dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((kq_tot, dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((kq, dim), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_BLK_Q, dim), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * kq_tot * kk * dim * 2
-            + 2 * kq_tot * dim * (dim + 2 * 2 * dim * 2),
-            bytes_accessed=(2 * kq_tot * dim + 2 * sets * kk * dim) * 2
-            + 2 * kq_tot * dim * 4,
-            transcendentals=kq_tot * (heads * kk + 3 * dim),
+            flops=2 * kq * kk * dim * 2
+            + 2 * kq * dim * (dim + 2 * 2 * dim * 2),
+            bytes_accessed=(2 * kq * dim + 2 * kk * dim) * 2
+            + 2 * kq * dim * 4,
+            transcendentals=kq * (heads * kk + 3 * dim),
         ),
-    )(x, q, k, v, bias_flat, wout, bout, w1x, w1m, b1, lns, lnb, w2, b2)
+    )(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb, w2, b2)
 
 
 def _block_reference(x, q, k, v, bias_k, wout, bout, w1x, w1m, b1, lns, lnb,
@@ -276,71 +250,6 @@ def _fused_block_bwd(heads, gelu_approximate, residuals, g):
 fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
-def _block_reference_dual(x, q, k, v, bias2, wout, bout, w1x, w1m, b1, lns,
-                          lnb, w2, b2, *, heads: int,
-                          gelu_approximate: bool = True,
-                          cross: bool = False):
-    """XLA mirror of the dual-batched block: per-set halves, concatenated.
-
-    With ``cross`` query half s attends key half ``1 - s`` (mirroring the
-    Mosaic kernel's XOR'd index map)."""
-    kq = x.shape[0] // 2
-    kk = k.shape[0] // 2
-    outs = []
-    for s in (0, 1):
-        ks = (1 - s) if cross else s
-        outs.append(_block_reference(
-            x[s * kq:(s + 1) * kq], q[s * kq:(s + 1) * kq],
-            k[ks * kk:(ks + 1) * kk], v[ks * kk:(ks + 1) * kk],
-            bias2[ks:ks + 1], wout, bout, w1x, w1m, b1, lns, lnb, w2, b2,
-            heads=heads, gelu_approximate=gelu_approximate,
-        ))
-    return jnp.concatenate(outs, axis=0)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
-def fused_block_dual(x, q, k, v, bias2, wout, bout, w1x, w1m, b1, lns, lnb,
-                     w2, b2, heads=4, gelu_approximate=True, cross=False):
-    """Both streams' blocks in ONE Mosaic launch (see ``_block_pallas``).
-
-    ``x``/``q`` are (2*Kq, dim) concatenated residuals/queries; ``k``/``v``
-    (2*Kk, dim) concatenated key/value sets; ``bias2`` (2, Kk). Query rows
-    of half s attend key half s (``cross=False``) or half ``1 - s``
-    (``cross=True``, the bidirectional cross stage — the swap rides the
-    kernel's index map, so callers never materialize swapped copies).
-    """
-    if jax.default_backend() in ("cpu",):
-        return _block_reference_dual(x, q, k, v, bias2, wout, bout, w1x,
-                                     w1m, b1, lns, lnb, w2, b2, heads=heads,
-                                     gelu_approximate=gelu_approximate,
-                                     cross=cross)
-    return _block_pallas(x, q, k, v, bias2, wout, bout, w1x, w1m, b1,
-                         lns, lnb, w2, b2, heads=heads,
-                         gelu_approximate=gelu_approximate, sets=2,
-                         cross=cross)
-
-
-def _fused_block_dual_fwd(x, q, k, v, bias2, wout, bout, w1x, w1m, b1, lns,
-                          lnb, w2, b2, heads, gelu_approximate, cross):
-    out = fused_block_dual(x, q, k, v, bias2, wout, bout, w1x, w1m, b1,
-                           lns, lnb, w2, b2, heads, gelu_approximate, cross)
-    return out, (x, q, k, v, bias2, wout, bout, w1x, w1m, b1, lns, lnb,
-                 w2, b2)
-
-
-def _fused_block_dual_bwd(heads, gelu_approximate, cross, residuals, g):
-    args = residuals
-    out, vjp = jax.vjp(
-        lambda *a: _block_reference_dual(
-            *a, heads=heads, gelu_approximate=gelu_approximate,
-            cross=cross), *args)
-    grads = vjp(g.astype(out.dtype))
-    return grads
-
-
-fused_block_dual.defvjp(_fused_block_dual_fwd, _fused_block_dual_bwd)
-
-
 # ---------------------------------------------------------------------------
 # Rotary via weight permutation
 # ---------------------------------------------------------------------------
@@ -371,32 +280,24 @@ def _qkv_perm(heads: int, dh: int) -> np.ndarray:
     return perm
 
 
-@functools.lru_cache(maxsize=8)
-def _qkv_perm_ext(heads: int, dh: int) -> np.ndarray:
-    """Column permutation building the EXTENDED qkv operand
-    ``[q, swap(q), k, swap(k), v]`` (5*dim wide) from the natural flax Wqkv
-    layout. ``swap`` exchanges the two dh/2 halves of each head's pair-split
-    lanes; riding it on the weight matrix (``swap(x @ W + b) == x @ (W P)
-    + b P``) makes rotary two elementwise multiply-adds with no activation
-    relayout (the flip/reshape swap this replaces measured as the dominant
-    per-layer glue cost at 2048 keypoints)."""
-    dim = heads * dh
-    base = _qkv_perm(heads, dh)
-    pq, pk, pv = base[:dim], base[dim:2 * dim], base[2 * dim:]
-    swap = np.zeros(dim, np.int64)
-    for h in range(heads):
-        for i in range(dh // 2):
-            swap[h * dh + i] = h * dh + dh // 2 + i
-            swap[h * dh + dh // 2 + i] = h * dh + i
-    return np.concatenate([pq, pq[swap], pk, pk[swap], pv])
+def _rotate_halfsplit(q2d, cos, sin, heads, dh):
+    """Apply rotary to pair-split (K, heads*dh) q/k lanes.
 
-
-def _cs_full(cos, sin, heads):
-    """Per-set rotary multipliers, (K, dim) f32, built once per call:
-    with q/k lanes pair-split per head, rotated = q * C + swap(q) * S."""
-    c = jnp.tile(jnp.concatenate([cos, cos], axis=1), (1, heads))
-    s = jnp.tile(jnp.concatenate([-sin, sin], axis=1), (1, heads))
-    return c, s
+    ``cos``/``sin`` are (K, dh/2) per-pair phases. With lanes laid out
+    [evens | odds] per head: out = q * C + swap(q) * S where swap exchanges
+    the two dh/2 halves of each head and S carries -sin on the even half.
+    """
+    k = q2d.shape[0]
+    c64 = jnp.concatenate([cos, cos], axis=1)
+    s64 = jnp.concatenate([-sin, sin], axis=1)
+    cfull = jnp.tile(c64, (1, heads))
+    sfull = jnp.tile(s64, (1, heads))
+    swap = jnp.flip(
+        q2d.reshape(k, heads, 2, dh // 2), axis=2
+    ).reshape(k, heads * dh)
+    return (
+        q2d.astype(jnp.float32) * cfull + swap.astype(jnp.float32) * sfull
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -445,25 +346,7 @@ def lightglue_fused_forward(
     bias0 = jnp.where(mask0, 0.0, -1e9).astype(jnp.float32)[None, :]
     bias1 = jnp.where(mask1, 0.0, -1e9).astype(jnp.float32)[None, :]
 
-    perm_ext = jnp.asarray(_qkv_perm_ext(heads, dh))
-    cf0, sf0 = _cs_full(cos0, sin0, heads)
-    cf1, sf1 = _cs_full(cos1, sin1, heads)
-
-    # equal set sizes (every production mode): both residual streams stay
-    # concatenated and each stage is ONE dual-batched kernel launch
-    k0 = kpts0.shape[0]
-    dual = k0 == kpts1.shape[0]
-    if dual:
-        xx = jnp.concatenate([x0, x1], axis=0)
-        cf = jnp.concatenate([cf0, cf1], axis=0)
-        sf = jnp.concatenate([sf0, sf1], axis=0)
-        # one (2, K) bias serves both stages: the cross stage's key-half
-        # swap rides the kernel index map (cross=True), not a data copy
-        bias_self = jnp.concatenate([bias0, bias1], axis=0)
-
-    def rot(block_main, block_swap, cf_, sf_):
-        return (block_main.astype(jnp.float32) * cf_
-                + block_swap.astype(jnp.float32) * sf_).astype(cd)
+    perm = jnp.asarray(_qkv_perm(heads, dh))
 
     def ffn_weights(layer):
         f = _p(params, layer, "ffn")
@@ -480,62 +363,45 @@ def lightglue_fused_forward(
     for i in range(depth):
         # ---- self attention (both sets, shared weights) -----------------
         name = f"self_{i}"
-        wqkv = _p(params, name, "Wqkv", "kernel")[:, perm_ext].astype(cd)
-        bqkv = _p(params, name, "Wqkv", "bias")[perm_ext].astype(cd)
+        wqkv = _p(params, name, "Wqkv", "kernel")[:, perm].astype(cd)
+        bqkv = _p(params, name, "Wqkv", "bias")[perm].astype(cd)
         wout = _p(params, name, "out_proj", "kernel").astype(cd)
         bout = _p(params, name, "out_proj", "bias") \
             .astype(jnp.float32)[None, :]
         fw = ffn_weights(name)
 
-        def self_qkv(x, cf_, sf_):
+        def self_block(x, cos, sin, bias):
             qkv = x.astype(cd) @ wqkv + bqkv
-            q = rot(qkv[:, :dim], qkv[:, dim:2 * dim], cf_, sf_)
-            k = rot(qkv[:, 2 * dim:3 * dim], qkv[:, 3 * dim:4 * dim],
-                    cf_, sf_)
-            return q, k, qkv[:, 4 * dim:]
+            q = _rotate_halfsplit(qkv[:, :dim], cos, sin, heads, dh) \
+                .astype(cd)
+            k = _rotate_halfsplit(qkv[:, dim:2 * dim], cos, sin, heads, dh) \
+                .astype(cd)
+            v = qkv[:, 2 * dim:]
+            return fused_block(x, q, k, v, bias, wout, bout, *fw, heads,
+                               gelu_approximate)
 
-        if dual:
-            q, k, v = self_qkv(xx, cf, sf)
-            xx = fused_block_dual(xx, q, k, v, bias_self, wout, bout, *fw,
-                                  heads, gelu_approximate)
-        else:
-            q, k, v = self_qkv(x0, cf0, sf0)
-            x0 = fused_block(x0, q, k, v, bias0, wout, bout, *fw, heads,
-                             gelu_approximate)
-            q, k, v = self_qkv(x1, cf1, sf1)
-            x1 = fused_block(x1, q, k, v, bias1, wout, bout, *fw, heads,
-                             gelu_approximate)
+        x0 = self_block(x0, cos0, sin0, bias0)
+        x1 = self_block(x1, cos1, sin1, bias1)
 
         # ---- bidirectional cross attention ------------------------------
         name = f"cross_{i}"
-        wcat = jnp.concatenate(
-            [_p(params, name, "to_qk", "kernel"),
-             _p(params, name, "to_v", "kernel")], axis=1).astype(cd)
-        bcat = jnp.concatenate(
-            [_p(params, name, "to_qk", "bias"),
-             _p(params, name, "to_v", "bias")]).astype(cd)
+        wqk = _p(params, name, "to_qk", "kernel").astype(cd)
+        bqk = _p(params, name, "to_qk", "bias").astype(cd)
+        wv = _p(params, name, "to_v", "kernel").astype(cd)
+        bv = _p(params, name, "to_v", "bias").astype(cd)
         wo = _p(params, name, "to_out", "kernel").astype(cd)
         bo = _p(params, name, "to_out", "bias").astype(jnp.float32)[None, :]
         fw = ffn_weights(name)
 
-        if dual:
-            qv = xx.astype(cd) @ wcat + bcat
-            qk, v = qv[:, :dim], qv[:, dim:]
-            xx = fused_block_dual(xx, qk, qk, v, bias_self, wo, bo, *fw,
-                                  heads, gelu_approximate, True)
-        else:
-            qv0 = x0.astype(cd) @ wcat + bcat
-            qv1 = x1.astype(cd) @ wcat + bcat
-            qk0, v0 = qv0[:, :dim], qv0[:, dim:]
-            qk1, v1 = qv1[:, :dim], qv1[:, dim:]
-            x0n = fused_block(x0, qk0, qk1, v1, bias1, wo, bo, *fw, heads,
-                              gelu_approximate)
-            x1n = fused_block(x1, qk1, qk0, v0, bias0, wo, bo, *fw, heads,
-                              gelu_approximate)
-            x0, x1 = x0n, x1n
-
-    if dual:
-        x0, x1 = xx[:k0], xx[k0:]
+        qk0 = x0.astype(cd) @ wqk + bqk
+        qk1 = x1.astype(cd) @ wqk + bqk
+        v0 = x0.astype(cd) @ wv + bv
+        v1 = x1.astype(cd) @ wv + bv
+        x0n = fused_block(x0, qk0, qk1, v1, bias1, wo, bo, *fw, heads,
+                          gelu_approximate)
+        x1n = fused_block(x1, qk1, qk0, v0, bias0, wo, bo, *fw, heads,
+                          gelu_approximate)
+        x0, x1 = x0n, x1n
 
     # ---- assignment head (XLA; small) -----------------------------------
     wf = _p(params, "final_proj", "kernel").astype(jnp.float32)

@@ -264,6 +264,27 @@ def bench_lightglue(args, rng):
     print(f"{'attention x9 (4 calls/layer)':30s} {ms_attn:7.3f} ms")
     print(f"{'rest (dense+elementwise)':30s} {ms_full - ms_attn:7.3f} ms")
 
+    # the PRODUCTION path: fused whole-layer Mosaic blocks. Equal counts
+    # (warp/bucketed hot path) ride the dual-batched sets=2 kernel; the
+    # 2048 vs 4096 shape is the cached-mode / map-refresh matcher.
+    from gisnav_tpu.matching.lightglue_fused import lightglue_fused_forward
+
+    for kq, kr in ((2048, 2048), (2048, 4096)):
+        d0f = d0
+        d1f = d1[:kr]
+        kp1f = kp1[:kr]
+        m1f = jnp.ones(kr, bool)
+
+        def fused(d0v, _kp1=kp1f, _d1=d1f, _m1=m1f):
+            res = lightglue_fused_forward(
+                params, kp0, d0v, m0, (h, w),
+                _kp1, _d1, _m1, (2048, 2048), depth=depth)
+            return res.scores
+
+        ms_f = _timed(fused, d0f, reps=args.reps, inner=args.inner)
+        label = f"fused-9 {kq}x{kr}" + (" (dual)" if kq == kr else "")
+        print(f"{label:30s} {ms_f:7.3f} ms")
+
 
 if __name__ == "__main__":
     main()
